@@ -1,0 +1,275 @@
+"""STFT / ISTFT front-end with exact ``torch.stft``/``torch.istft`` semantics.
+
+The reference leans on two configurations (SURVEY §2.3):
+
+  * train:  ``torch.stft(x, n_fft=256, hop_length=128, win_length=256,
+             return_complex=False)``  (uformerWM/audio_test.py:465-469)
+  * eval / in-graph channel sim: ``torch.stft(x, n_fft=255)`` and
+    ``torch.istft(y, n_fft=255[, length=...])``  (uformerWM/model.py:2458-2463,
+    uformerWM/audio_test.py:315,596-600)
+
+torch defaults reproduced here: ``window=None`` -> rectangular (ones),
+``hop_length = n_fft // 4``, ``win_length = n_fft``, ``center=True`` with
+reflect padding, ``normalized=False``, ``onesided=True``.
+
+TPU-first design notes
+----------------------
+* The DFT is evaluated as a **matmul against precomputed cos/sin bases**
+  rather than an FFT: n_fft is 255/256 here, so the transform per frame is a
+  ``(frames, n_fft) @ (n_fft, bins)`` contraction — exactly MXU shaped, it
+  fuses with the framing gather, and it sidesteps XLA:TPU's poor support for
+  odd-length (255-point) FFTs. For large batches this is compute-trivial next
+  to the model itself. A ``method='fft'`` escape hatch keeps jnp.fft for CPU
+  testing.
+* Everything is shape-static and differentiable; gradients flow through
+  istft∘stft like the reference's in-graph round trip (model.py:2458-2463).
+* Overlap-add uses a scatter-add with a statically precomputed index map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "stft", "istft", "stft_ri", "istft_ri", "frame_signal",
+    "num_frames", "spec_to_clips", "clips_to_spec",
+]
+
+# The DFT itself must stay f32-exact even when the surrounding model runs
+# bf16 (SURVEY §7 "hard parts": BER parity needs f32 FFT). On TPU the MXU
+# default is bf16 multiplication; HIGHEST forces the f32 (3-pass) path.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _dftmm(a: jnp.ndarray, b: np.ndarray) -> jnp.ndarray:
+    return jnp.matmul(a, jnp.asarray(b, dtype=a.dtype), precision=_EXACT)
+
+
+def _as_pair(n_fft: int, hop_length: Optional[int], win_length: Optional[int]):
+    hop = hop_length if hop_length is not None else n_fft // 4
+    win = win_length if win_length is not None else n_fft
+    return hop, win
+
+
+def _padded_window(window: Optional[np.ndarray], n_fft: int, win_length: int,
+                   dtype=np.float64) -> np.ndarray:
+    """torch pads a shorter window to n_fft, centered."""
+    if window is None:
+        w = np.ones(win_length, dtype=dtype)
+    else:
+        w = np.asarray(window, dtype=dtype)
+        assert w.shape == (win_length,), (w.shape, win_length)
+    if win_length < n_fft:
+        left = (n_fft - win_length) // 2
+        w = np.pad(w, (left, n_fft - win_length - left))
+    return w
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Forward real-DFT bases: cos, -sin  of shape (n_fft, bins)."""
+    bins = n_fft // 2 + 1
+    t = np.arange(n_fft)[:, None]
+    k = np.arange(bins)[None, :]
+    ang = 2.0 * np.pi * t * k / n_fft
+    return np.cos(ang), -np.sin(ang)
+
+
+@functools.lru_cache(maxsize=16)
+def _idft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse real-DFT bases (bins, n_fft), Hermitian weights folded in.
+
+    x[t] = (1/N) * sum_k w_k * (Re X_k cos(2πkt/N) - Im X_k sin(2πkt/N)),
+    w_0 = 1, w_{N/2} = 1 (even N only), else w_k = 2.
+    """
+    bins = n_fft // 2 + 1
+    k = np.arange(bins)[:, None]
+    t = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * t / n_fft
+    w = np.full((bins, 1), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    return (w * np.cos(ang)) / n_fft, (-w * np.sin(ang)) / n_fft
+
+
+def num_frames(length: int, n_fft: int, hop_length: Optional[int] = None,
+               center: bool = True) -> int:
+    hop, _ = _as_pair(n_fft, hop_length, None)
+    if center:
+        length = length + 2 * (n_fft // 2)
+    return 1 + (length - n_fft) // hop
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool,
+                 pad_mode: str = "reflect") -> jnp.ndarray:
+    """(..., L) -> (..., frames, n_fft) with torch center/reflect padding."""
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        x = jnp.pad(x, pad, mode=pad_mode)
+    length = x.shape[-1]
+    n = 1 + (length - n_fft) // hop
+    idx = np.arange(n)[:, None] * hop + np.arange(n_fft)[None, :]
+    return x[..., idx]
+
+
+def stft(x: jnp.ndarray, n_fft: int, hop_length: Optional[int] = None,
+         win_length: Optional[int] = None, window: Optional[np.ndarray] = None,
+         center: bool = True, pad_mode: str = "reflect",
+         method: str = "matmul") -> jnp.ndarray:
+    """Short-time Fourier transform, ``torch.stft`` compatible.
+
+    Args:
+      x: real signal ``(..., L)``.
+      method: ``'matmul'`` (MXU DFT-as-matmul, TPU default) or ``'fft'``.
+
+    Returns:
+      complex64 spectrogram ``(..., bins, frames)`` with
+      ``bins = n_fft // 2 + 1`` — same layout as torch.
+    """
+    hop, win = _as_pair(n_fft, hop_length, win_length)
+    w = _padded_window(window, n_fft, win)
+    frames = frame_signal(x, n_fft, hop, center, pad_mode)
+    dtype = frames.dtype
+    frames = frames * jnp.asarray(w, dtype=dtype)
+    if method == "fft":
+        spec = jnp.fft.rfft(frames, axis=-1)  # (..., frames, bins)
+    else:
+        cos_b, msin_b = _dft_bases(n_fft)
+        re = _dftmm(frames, cos_b)
+        im = _dftmm(frames, msin_b)
+        spec = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
+    return jnp.swapaxes(spec, -1, -2)  # (..., bins, frames)
+
+
+def stft_ri(x: jnp.ndarray, n_fft: int, hop_length: Optional[int] = None,
+            win_length: Optional[int] = None,
+            window: Optional[np.ndarray] = None, center: bool = True,
+            pad_mode: str = "reflect", method: str = "matmul") -> jnp.ndarray:
+    """``torch.stft(..., return_complex=False)`` layout: (..., bins, frames, 2).
+
+    Kept as two real matmuls end to end (no complex dtype) so bf16/MXU paths
+    stay native.
+    """
+    hop, win = _as_pair(n_fft, hop_length, win_length)
+    w = _padded_window(window, n_fft, win)
+    frames = frame_signal(x, n_fft, hop, center, pad_mode)
+    dtype = frames.dtype
+    frames = frames * jnp.asarray(w, dtype=dtype)
+    if method == "fft":
+        spec = jnp.fft.rfft(frames, axis=-1)
+        re, im = jnp.real(spec).astype(dtype), jnp.imag(spec).astype(dtype)
+    else:
+        cos_b, msin_b = _dft_bases(n_fft)
+        re = _dftmm(frames, cos_b)
+        im = _dftmm(frames, msin_b)
+    out = jnp.stack([re, im], axis=-1)          # (..., frames, bins, 2)
+    return jnp.swapaxes(out, -2, -3)            # (..., bins, frames, 2)
+
+
+def _ola(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
+    """Overlap-add (..., n, n_fft) -> (..., out_len) via scatter-add."""
+    n, n_fft = frames.shape[-2], frames.shape[-1]
+    idx = (np.arange(n)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
+    flat = frames.reshape(frames.shape[:-2] + (n * n_fft,))
+    out = jnp.zeros(frames.shape[:-2] + (out_len,), dtype=frames.dtype)
+    return out.at[..., idx].add(flat)
+
+
+def istft(spec: jnp.ndarray, n_fft: int, hop_length: Optional[int] = None,
+          win_length: Optional[int] = None,
+          window: Optional[np.ndarray] = None, center: bool = True,
+          length: Optional[int] = None, method: str = "matmul") -> jnp.ndarray:
+    """Inverse STFT, ``torch.istft`` compatible.
+
+    Args:
+      spec: complex ``(..., bins, frames)`` or real ``(..., bins, frames, 2)``.
+      length: target output length (torch ``length=`` argument) — trims or
+        zero-pads the de-centered result.
+    """
+    if not jnp.iscomplexobj(spec):
+        assert spec.shape[-1] == 2, spec.shape
+        re, im = spec[..., 0], spec[..., 1]
+    else:
+        re, im = jnp.real(spec), jnp.imag(spec)
+    return istft_ri(jnp.stack([re, im], -1), n_fft, hop_length, win_length,
+                    window, center, length, method)
+
+
+def istft_ri(spec_ri: jnp.ndarray, n_fft: int,
+             hop_length: Optional[int] = None,
+             win_length: Optional[int] = None,
+             window: Optional[np.ndarray] = None, center: bool = True,
+             length: Optional[int] = None,
+             method: str = "matmul") -> jnp.ndarray:
+    """ISTFT from (..., bins, frames, 2) real/imag layout (all-real math)."""
+    hop, win = _as_pair(n_fft, hop_length, win_length)
+    w = _padded_window(window, n_fft, win)
+
+    re = jnp.swapaxes(spec_ri[..., 0], -1, -2)   # (..., frames, bins)
+    im = jnp.swapaxes(spec_ri[..., 1], -1, -2)
+    dtype = re.dtype
+    if method == "fft":
+        full = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
+        frames = jnp.fft.irfft(full, n=n_fft, axis=-1).astype(dtype)
+    else:
+        icos, misin = _idft_bases(n_fft)
+        frames = _dftmm(re, icos) + _dftmm(im, misin)
+
+    n = frames.shape[-2]
+    out_len = (n - 1) * hop + n_fft
+    wj = jnp.asarray(w, dtype=dtype)
+    sig = _ola(frames * wj, hop, out_len)
+    env = _ola(jnp.broadcast_to(wj * wj, (n, n_fft)), hop, out_len)
+    sig = sig / jnp.where(env > 1e-11, env, 1.0)
+
+    # torch trims n_fft//2 from the left, then takes `length` samples from
+    # the raw OLA buffer (it does NOT trim the right half first when
+    # `length` is given) — the tail beyond the nominally de-centered region
+    # still carries real overlap-add content.
+    start = n_fft // 2 if center else 0
+    if length is None:
+        sig = sig[..., start:out_len - start]
+    else:
+        end = start + length
+        if end <= out_len:
+            sig = sig[..., start:end]
+        else:
+            pad = [(0, 0)] * (sig.ndim - 1) + [(0, end - out_len)]
+            sig = jnp.pad(sig[..., start:], pad)
+    return sig
+
+
+def spec_to_clips(spec_ri: jnp.ndarray, clip_frames: int = 128,
+                  drop_last_bin: bool = False) -> tuple[jnp.ndarray, int]:
+    """Pad the time axis to a clip multiple and split into NHWC clips.
+
+    Reference: zero-pad frames to a multiple of 128 and slice
+    (uformerWM/audio_test.py:319-347). Input (bins, frames, 2); output
+    ``(n_clips, bins, clip_frames, 2)`` plus the valid length of the last
+    clip. Pure reshape — no host loop.
+    """
+    if drop_last_bin:
+        spec_ri = spec_ri[:-1]
+    bins, frames, _ = spec_ri.shape
+    tail = frames % clip_frames
+    pad = (clip_frames - tail) % clip_frames
+    # The reference always pads by `len_clip - frames % len_clip` (even when
+    # frames is already a multiple); we mirror the effective geometry only.
+    spec_ri = jnp.pad(spec_ri, ((0, 0), (0, pad), (0, 0)))
+    n = spec_ri.shape[1] // clip_frames
+    clips = spec_ri.reshape(bins, n, clip_frames, 2).transpose(1, 0, 2, 3)
+    valid_last = tail if tail else clip_frames
+    return clips, valid_last
+
+
+def clips_to_spec(clips: jnp.ndarray, valid_last: int) -> jnp.ndarray:
+    """Inverse of :func:`spec_to_clips`: (n, bins, F, 2) -> (bins, T, 2)."""
+    n, bins, f, _ = clips.shape
+    spec = clips.transpose(1, 0, 2, 3).reshape(bins, n * f, 2)
+    return spec[:, : (n - 1) * f + valid_last]
