@@ -1,0 +1,12 @@
+from image_in_speech_watermarking_tpu.models.uformer import (  # noqa: F401
+    UformerAudio, Uformer, UformerEncoder, UformerDecoder,
+    ConvAutoencoder, EncoderTransformerWM, DecoderWM,
+    DiscriminatorMark, DiscriminatorCover,
+)
+from image_in_speech_watermarking_tpu.models.baselines import (  # noqa: F401
+    ModelA, UNet, ConvBlock,
+)
+from image_in_speech_watermarking_tpu.models.hidden import (  # noqa: F401
+    HiddenEncoder, HiddenDecoder, HiddenDiscriminator, HiddenEncoderDecoder,
+)
+from image_in_speech_watermarking_tpu.models.registry import get_arch  # noqa: F401

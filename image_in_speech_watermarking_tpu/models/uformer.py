@@ -1,0 +1,334 @@
+"""Uformer model family: the production watermarking model and its halves.
+
+Functional parity targets (reference: uformerWM/model.py):
+  Encoder               model.py:1242-1394   4 stages + bottleneck
+  Decoder               model.py:1098-1240   4 up+skip stages (modulated)
+  ConvAutoencoder       model.py:1695-1748   1x32x32 wm codec <-> (4,8,8)
+  EncoderTransformerWM  model.py:1428-1583   wm extractor (full enc + head)
+  UformerAudio          model.py:2225-2543   production embedder/extractor
+  Uformer               model.py:2545-2805   stock image-restoration net
+  DecoderWM             model.py:1586-1642   alt CNN extractor
+  DiscriminatorMark/Cover model.py:1757-1805 tiny real/fake heads
+
+Layouts: spectrogram clips are (B, freq, time, ri) NHWC; watermarks are
+(B, 32, 32, 1); token sequences are (B, L, C). The in-graph ISTFT->STFT
+channel simulation (model.py:2458-2463) uses the dsp module (matmul DFT,
+differentiable).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_in_speech_watermarking_tpu.config import UformerConfig
+from image_in_speech_watermarking_tpu.dsp.stft import istft_ri, stft_ri
+from image_in_speech_watermarking_tpu.models.layers import (
+    BasicUformerLayer, Downsample, InputProj, OutputProj, Upsample,
+    ConvBNRelu, trunc_init,
+)
+
+
+def _enc_dpr(depths: Sequence[int], rate: float = 0.1) -> list[float]:
+    """Stochastic-depth schedule: linspace over encoder blocks
+    (model.py:1123-1126)."""
+    n = sum(depths[: len(depths) // 2])
+    return list(np.linspace(0, rate, n)) if n > 1 else [0.0] * n
+
+
+class UformerEncoder(nn.Module):
+    """4 BasicUformerLayer+Downsample stages + bottleneck
+    (model.py:1242-1394). Expects pre-projected tokens (the reference's
+    Encoder.input_proj is defined but unused, model.py:1381-1394)."""
+
+    cfg: UformerConfig
+    use_remat: bool = False
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, deterministic: bool = True):
+        cfg = self.cfg
+        e, res = cfg.embed_dim, cfg.img_size
+        dpr = _enc_dpr(cfg.depths)
+        outs = []
+        offset = 0
+        for i in range(4):
+            dim = e * (2 ** i)
+            y = BasicUformerLayer(
+                dim=dim, input_resolution=(res, res), depth=cfg.depths[i],
+                num_heads=cfg.num_heads[i], win_size=cfg.win_size,
+                mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                drop_path=tuple(dpr[offset:offset + cfg.depths[i]]),
+                token_projection=cfg.token_projection,
+                token_mlp=cfg.token_mlp, shift_flag=cfg.shift_flag,
+                use_remat=self.use_remat,
+                name=f"encoderlayer_{i}")(y, deterministic)
+            outs.append(y)
+            offset += cfg.depths[i]
+            y = Downsample(dim * 2, name=f"dowsample_{i}")(y, res, res)
+            res //= 2
+        # Bottleneck (conv_dpr = [rate]*depths[4], model.py:1125)
+        y = BasicUformerLayer(
+            dim=e * 16, input_resolution=(res, res), depth=cfg.depths[4],
+            num_heads=cfg.num_heads[4], win_size=cfg.win_size,
+            mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+            drop_path=(0.1,) * cfg.depths[4],
+            token_projection=cfg.token_projection, token_mlp=cfg.token_mlp,
+            shift_flag=cfg.shift_flag, use_remat=self.use_remat,
+            name="conv")(y, deterministic)
+        outs.append(y)
+        return tuple(outs)  # conv0..conv4
+
+
+class UformerDecoder(nn.Module):
+    """4 upsample + skip-concat + BasicUformerLayer stages
+    (model.py:1098-1240). ``bottleneck_mult`` is 32 for UformerAudio (the
+    bottleneck is concat([wm_features, conv4]), model.py:2411) and 16 for
+    the stock Uformer."""
+
+    cfg: UformerConfig
+    bottleneck_mult: int = 32
+    use_remat: bool = False
+
+    @nn.compact
+    def __call__(self, convs, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        e = cfg.embed_dim
+        conv0, conv1, conv2, conv3, bottom = convs
+        dec_dpr = list(reversed(_enc_dpr(cfg.depths)))
+        skips = [conv3, conv2, conv1, conv0]
+        # (in_mult, up_out_mult, layer_dim_mult, resolution)
+        res = cfg.img_size // 16
+        in_mult = self.bottleneck_mult
+        y = bottom
+        offset = 0
+        for i in range(4):
+            depth = cfg.depths[5 + i]
+            up_out = e * (8 // (2 ** i))            # 8E, 4E, 2E, 1E
+            y = Upsample(up_out, name=f"upsample_{i}")(y, res, res)
+            res *= 2
+            y = jnp.concatenate([y, skips[i]], axis=-1)
+            dim = up_out * 2
+            y = BasicUformerLayer(
+                dim=dim, input_resolution=(res, res), depth=depth,
+                num_heads=cfg.num_heads[5 + i], win_size=cfg.win_size,
+                mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                drop_path=tuple(dec_dpr[offset:offset + depth]),
+                token_projection=cfg.token_projection,
+                token_mlp=cfg.token_mlp, shift_flag=cfg.shift_flag,
+                modulator=cfg.modulator, use_remat=self.use_remat,
+                name=f"decoderlayer_{i}")(y, deterministic)
+            offset += depth
+            in_mult = dim // e
+        return y  # (B, img_size^2, 2E)
+
+
+class ConvAutoencoder(nn.Module):
+    """Watermark codec (model.py:1695-1748): encode 32x32x1 -> 8x8x4
+    feature; decode back via two transposed convs + sigmoid."""
+
+    in_chans: int = 1
+
+    def setup(self):
+        self.conv1 = nn.Conv(16, (3, 3), padding=1, name="conv1")
+        self.conv2 = nn.Conv(4, (3, 3), padding=1, name="conv2")
+        self.t_conv1 = nn.ConvTranspose(16, (2, 2), strides=(2, 2),
+                                        name="t_conv1")
+        self.t_conv2 = nn.ConvTranspose(self.in_chans, (2, 2), strides=(2, 2),
+                                        name="t_conv2")
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.relu(self.conv1(x))
+        y = nn.max_pool(y, (2, 2), strides=(2, 2))
+        y = nn.relu(self.conv2(y))
+        return nn.max_pool(y, (2, 2), strides=(2, 2))       # (B, 8, 8, 4)
+
+    def decode(self, f: jnp.ndarray) -> jnp.ndarray:
+        y = nn.relu(self.t_conv1(f))
+        return nn.sigmoid(self.t_conv2(y))                  # (B, 32, 32, 1)
+
+    def __call__(self, x: jnp.ndarray):
+        f = self.encode(x)
+        return f, self.decode(f)
+
+
+class EncoderTransformerWM(nn.Module):
+    """Watermark extractor (model.py:1428-1583): InputProj -> full 4-stage
+    Uformer encoder -> bottleneck (8x8 grid x 16E) -> conv(k=8, stride
+    (16,8)) over the (64, 512) token map -> (B, 8, 8, 4) feature."""
+
+    cfg: UformerConfig
+    use_remat: bool = False
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        tokens = InputProj(cfg.embed_dim, name="input_proj")(y)
+        # Extractor encoder has no modulator/shift difference from the main
+        # one; weights are separate (model.py:1462-1566).
+        *_, conv4 = UformerEncoder(cfg, use_remat=self.use_remat,
+                                   name="encoder")(tokens, deterministic)
+        b, l, c = conv4.shape                                # (B, 64, 16E)
+        # Conv2d(1, 1, kernel_size=8, stride=(16, 8)) over the token map
+        # viewed as a 1-channel (64, 512) image (model.py:1568-1582).
+        # Production geometry: (64-8)//16+1 = 4, (512-8)//8+1 = 64 -> (4,64)
+        # -> reshape (B,4,8,8). Strides/padding generalized so any
+        # (L4, C16) still lands on a (4, 64) map.
+        sh, sw = l // 4, c // 64
+        pad_h = max(0, 3 * sh + 8 - l)
+        pad_w = max(0, 63 * sw + 8 - c)
+        img = conv4.reshape(b, l, c, 1)
+        feat = nn.Conv(1, (8, 8), strides=(sh, sw),
+                       padding=((0, pad_h), (0, pad_w)),
+                       name="conv2")(img)[:, :4, :64]        # (B, 4, 64, 1)
+        feat = feat.reshape(b, 4, 8, 8)                      # row-major (4,64)
+        return feat.transpose(0, 2, 3, 1)                    # NHWC (B,8,8,4)
+
+
+class DecoderWM(nn.Module):
+    """Alt CNN extractor (model.py:1586-1642): 4x (conv+relu+pool) ->
+    (B, 8, 8, 4)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for ch in (16, 32, 16, 4):
+            x = nn.relu(nn.Conv(ch, (3, 3), padding=1)(x))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class UformerAudio(nn.Module):
+    """The production watermark embedder/extractor (model.py:2225-2543).
+
+    forward(x: (B, 128, 128, 2) stft clip, message: (B, 32, 32, 1)) ->
+      (stft_new, noise, wm_pred, wm):
+        stft_new: ISTFT->STFT round-tripped, conv-refined watermarked clip
+                  (what the audio-fidelity loss sees, model.py:2458-2465)
+        noise:    additive watermark residual (model.py:2419-2421)
+        wm_pred:  aux decode of (wm feature + pooled audio feature)
+                  (model.py:2398-2404)
+        wm:       extracted watermark from the pre-channel signal
+                  (model.py:2508-2509)
+    """
+
+    cfg: UformerConfig = UformerConfig()
+    use_remat: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        self.input_proj = InputProj(cfg.embed_dim, name="input_proj")
+        self.output_proj = OutputProj(cfg.in_chans, name="output_proj")
+        self.encoder = UformerEncoder(cfg, use_remat=self.use_remat,
+                                      name="encoder")
+        self.decoder = UformerDecoder(cfg, bottleneck_mult=32,
+                                      use_remat=self.use_remat,
+                                      name="decoder")
+        self.encoder_wm = ConvAutoencoder(in_chans=1, name="encoder_wm")
+        self.decoder_wm = EncoderTransformerWM(cfg, use_remat=self.use_remat,
+                                               name="decoder_wm")
+        # stft_layer: conv 2->4 relu conv 4->2 (model.py:2305-2309)
+        self.stft_conv1 = nn.Conv(4, (3, 3), padding=1, name="stft_layer_0")
+        self.stft_conv2 = nn.Conv(cfg.in_chans, (3, 3), padding=1,
+                                  name="stft_layer_2")
+
+    def _bottleneck_dims(self) -> tuple[int, int]:
+        """(tokens, channels) at the bottleneck: ((img/16)^2, 16*embed)."""
+        cfg = self.cfg
+        return (cfg.img_size // 16) ** 2, 16 * cfg.embed_dim
+
+    def _wm_tokens(self, feature_wm: jnp.ndarray) -> jnp.ndarray:
+        """(B, 8, 8, 4) -> (B, L4, C16) by the reference's reshape+repeat
+        (model.py:2386-2389: (B,4,8,8)->(B,4,64)->repeat(1,16,8) for the
+        production 64x512 bottleneck; ratios generalized for other sizes)."""
+        b = feature_wm.shape[0]
+        l4, c16 = self._bottleneck_dims()
+        f = feature_wm.transpose(0, 3, 1, 2).reshape(b, 4, 64)
+        return jnp.tile(f, (1, l4 // 4, c16 // 64))
+
+    def embed(self, x: jnp.ndarray, message: jnp.ndarray,
+              deterministic: bool = True):
+        """feature_extract equivalent (model.py:2347-2382) returning the
+        watermarked clip y = x + noise, plus intermediates."""
+        cfg = self.cfg
+        feature_wm = self.encoder_wm.encode(message)         # (B,8,8,4)
+        feature_expand = self._wm_tokens(feature_wm)         # (B,64,512)
+
+        tokens = self.input_proj(x)
+        convs = self.encoder(tokens, deterministic)
+        conv4 = convs[-1]                                    # (B,64,512)
+
+        # max_pool (16,8) over the token map -> (B,4,64) -> (B,8,8,4)
+        # (model.py:2250,2398-2400); window generalized to (L4/4, C16/64)
+        b = conv4.shape[0]
+        l4, c16 = self._bottleneck_dims()
+        pooled = jax.lax.reduce_window(
+            conv4, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, l4 // 4, c16 // 64),
+            window_strides=(1, l4 // 4, c16 // 64),
+            padding="VALID")
+        conv4_down = pooled.reshape(b, 4, 8, 8).transpose(0, 2, 3, 1)
+        wm_pred = self.encoder_wm.decode(feature_wm + conv4_down)
+
+        concat = jnp.concatenate([feature_expand, conv4], axis=2)
+        deconv3 = self.decoder(convs[:4] + (concat,), deterministic)
+        noise = self.output_proj(deconv3, cfg.img_size, cfg.img_size)
+        return x + noise, noise, wm_pred
+
+    def channel_sim(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Differentiable ISTFT->STFT round trip + conv refinement
+        (model.py:2458-2465)."""
+        cfg = self.cfg
+        audio = istft_ri(y, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
+        spec = stft_ri(audio, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
+        return self.stft_conv2(nn.relu(self.stft_conv1(spec)))
+
+    def wm_decode(self, y: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """Extract the watermark image from a (possibly attacked) clip
+        (model.py:2339-2342)."""
+        feat = self.decoder_wm(y, deterministic)
+        return self.encoder_wm.decode(feat)
+
+    def __call__(self, x: jnp.ndarray, message: jnp.ndarray,
+                 deterministic: bool = True):
+        y, noise, wm_pred = self.embed(x, message, deterministic)
+        stft_new = self.channel_sim(y)
+        wm = self.wm_decode(y, deterministic)
+        return stft_new, noise, wm_pred, wm
+
+
+class Uformer(nn.Module):
+    """Stock image-restoration Uformer (model.py:2545-2805):
+    y = x[..., :in_chans] + OutputProj(Decoder(Encoder(InputProj(x))))."""
+
+    cfg: UformerConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        tokens = InputProj(cfg.embed_dim, name="input_proj")(x)
+        convs = UformerEncoder(cfg, name="encoder")(tokens, deterministic)
+        deconv3 = UformerDecoder(cfg, bottleneck_mult=16,
+                                 name="decoder")(convs, deterministic)
+        y = OutputProj(cfg.in_chans, name="output_proj")(
+            deconv3, cfg.img_size, cfg.img_size)
+        return x[..., : cfg.in_chans] + y
+
+
+class DiscriminatorMark(nn.Module):
+    """Tiny real/fake head for watermark images (model.py:1757-1781)."""
+
+    channels: int = 64
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = ConvBNRelu(self.channels, name="conv1")(x, train)
+        y = ConvBNRelu(self.channels, name="conv2")(y, train)
+        y = ConvBNRelu(self.channels, name="conv3")(y, train)
+        y = y.mean(axis=(1, 2))                              # global avg pool
+        return nn.Dense(1, kernel_init=trunc_init, name="linear")(y)
+
+
+DiscriminatorCover = DiscriminatorMark  # same topology (model.py:1783-1805)
