@@ -1,0 +1,181 @@
+"""Speech data pipeline: waveform -> STFT clips, on device.
+
+Parity targets:
+  SpeechDataTrain   uformerWM/audio_test.py:410-516  (n_fft=256 hop=128,
+                    drop last freq row, pad time to x128, chunk, optional
+                    audio_scale '0.025' or 'min-max' normalization)
+  SpeechDataTest    uformerWM/audio_test.py:270-360  (n_fft=255, keeps
+                    [raw, clips, tail]),
+  speechDataTest129 (256-point variant for exact ISTFT)
+  SpeechDataAudio   hidden/audio_test.py:26-150      (time-domain 128^2
+                    chunks, scale 0.025)
+  normalize_batch   uformerWM/audio_test.py:37-54
+
+TPU-first redesign: the reference eagerly STFTs the whole dataset into
+host RAM with a python loop (audio_test.py:439-502). Here chunking is a
+traced reshape on device; datasets yield fixed-shape batches; real corpora
+(TEDLIUM/LibriSpeech via torchaudio) are gated on local file presence, and
+a deterministic synthetic-speech generator keeps everything runnable in a
+zero-egress environment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_in_speech_watermarking_tpu.config import (
+    CLIP_FRAMES, SAMPLE_RATE, TRAIN_HOP, TRAIN_N_FFT, EVAL_N_FFT)
+from image_in_speech_watermarking_tpu.dsp.stft import (
+    spec_to_clips, stft_ri)
+
+
+def synthetic_speech(length: int, seed: int = 0,
+                     sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Deterministic speech-like waveform: pitch-modulated harmonic
+    excitation through a slowly-varying formant-ish filter + noise floor."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(length) / sr
+    f0 = 110.0 + 40.0 * np.sin(2 * np.pi * 0.7 * t + rng.uniform(0, 6.28))
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    sig = np.zeros(length)
+    for h, amp in ((1, 0.5), (2, 0.3), (3, 0.2), (4, 0.1), (6, 0.05)):
+        sig += amp * np.sin(h * phase + rng.uniform(0, 6.28))
+    env = 0.4 + 0.6 * np.clip(np.sin(2 * np.pi * 2.1 * t
+                                     + rng.uniform(0, 6.28)), 0, None)
+    sig = sig * env + 0.01 * rng.standard_normal(length)
+    return (0.1 * sig / np.abs(sig).max()).astype(np.float32)
+
+
+def normalize_batch(data: jnp.ndarray, audio_scale: str):
+    """The reference's two scaling modes (audio_test.py:37-54,464-479):
+    a scalar factor string ('0.025') or a 'min-max' range remap."""
+    if audio_scale is None or audio_scale in ("0", "", "False"):
+        return data, 0.0, 1.0
+    if "-" not in audio_scale:
+        return data * float(audio_scale), 0.0, 1.0
+    lo_s, hi_s = audio_scale.split("-")
+    lo, hi = float(lo_s), float(hi_s)
+    dmin, dmax = data.min(), data.max()
+    unit = (data - dmin) / (dmax - dmin)
+    return unit * (hi - lo) + lo, dmin, dmax
+
+
+def wave_to_train_clips(wav: jnp.ndarray) -> jnp.ndarray:
+    """Training featurization (audio_test.py:465-502): STFT(256,128,256),
+    drop the 129th bin, pad time to x128, chunk -> (n, 128, 128, 2)."""
+    spec = stft_ri(wav, TRAIN_N_FFT, TRAIN_HOP, TRAIN_N_FFT)
+    clips, _ = spec_to_clips(spec, CLIP_FRAMES, drop_last_bin=True)
+    return clips
+
+
+def wave_to_eval_clips(wav: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """Eval featurization (audio_test.py:307-347): STFT(255) -> 128 bins,
+    pad + chunk; also returns the valid frame count of the last clip."""
+    spec = stft_ri(wav, EVAL_N_FFT)
+    return spec_to_clips(spec, CLIP_FRAMES)
+
+
+def wave_to_audio_clips(wav: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """hidden/ time-domain featurization (hidden/audio_test.py:98-114):
+    scale by 0.025, pad to a multiple of 128^2 samples, reshape each 16384
+    chunk to a (128, 128, 1) image."""
+    n = CLIP_FRAMES * CLIP_FRAMES
+    scaled = wav * 0.025
+    tail = scaled.shape[-1] % n
+    pad = (n - tail) % n
+    padded = jnp.pad(scaled, (0, pad))
+    clips = padded.reshape(-1, CLIP_FRAMES, CLIP_FRAMES, 1)
+    return clips, (tail if tail else n)
+
+
+@dataclasses.dataclass
+class SpeechDataset:
+    """Fixed-shape clip dataset over a list of utterances.
+
+    kind: 'train' (n_fft 256 features) | 'eval' (n_fft 255) | 'audio'
+    (time-domain). Mirrors SpeechDataTrain / SpeechDataTest /
+    SpeechDataAudio construction.
+    """
+
+    waves: List[np.ndarray]
+    kind: str = "train"
+    audio_scale: str = "0"
+
+    def __post_init__(self):
+        feats = []
+        self.tails: List[int] = []
+        fn = {"train": wave_to_train_clips}.get(self.kind)
+        for w in self.waves:
+            wj = jnp.asarray(w)
+            if self.kind == "train":
+                feats.append(np.asarray(wave_to_train_clips(wj)))
+            elif self.kind == "eval":
+                c, tail = wave_to_eval_clips(wj)
+                feats.append(np.asarray(c))
+                self.tails.append(int(tail))
+            elif self.kind == "audio":
+                c, tail = wave_to_audio_clips(wj)
+                feats.append(np.asarray(c))
+                self.tails.append(int(tail))
+            else:
+                raise ValueError(self.kind)
+        if self.kind == "train":
+            data = np.concatenate(feats, axis=0)
+            scaled, self.data_min, self.data_max = normalize_batch(
+                jnp.asarray(data), self.audio_scale)
+            self.clips = np.asarray(scaled)
+        else:
+            self.per_utterance = feats
+            self.data_min, self.data_max = 0.0, 1.0
+
+    # train-mode API
+    def __len__(self):
+        return len(self.clips) if self.kind == "train" \
+            else len(self.per_utterance)
+
+    def batches(self, batch_size: int, seed: int = 0,
+                drop_last: bool = True) -> Iterator[np.ndarray]:
+        assert self.kind == "train"
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(len(self.clips))
+        end = (len(idx) // batch_size) * batch_size if drop_last else len(idx)
+        for i in range(0, end, batch_size):
+            yield self.clips[idx[i:i + batch_size]]
+
+    # eval-mode API: (raw_wave, clips, tail) triplets like SpeechDataTest
+    def utterance(self, i: int):
+        assert self.kind in ("eval", "audio")
+        return self.waves[i], self.per_utterance[i], self.tails[i]
+
+
+def load_corpus(dataset: str, size: int, split: str = "train",
+                seed: int = 42,
+                utt_seconds: float = 8.0) -> List[np.ndarray]:
+    """Load `size` utterances. 'tedlium'/'librispeech' use torchaudio if
+    the files are on disk (SpeechDataTrain's sources,
+    audio_test.py:410-432); 'synthetic' (default fallback) generates
+    deterministic speech-like waves."""
+    if dataset in ("tedlium", "librispeech"):
+        try:
+            import torchaudio  # type: ignore
+
+            if dataset == "librispeech":
+                ds = torchaudio.datasets.LIBRISPEECH(
+                    root="data", url="train-clean-100", download=False)
+            else:
+                ds = torchaudio.datasets.TEDLIUM(
+                    root="data", release="release2", subset=split,
+                    download=False)
+            base = 0 if split == "train" else size
+            return [np.asarray(ds[base + i][0][0], dtype=np.float32)
+                    for i in range(size)]
+        except Exception:
+            pass  # fall through to synthetic
+    base = seed if split == "train" else seed + 10_000
+    n = int(utt_seconds * SAMPLE_RATE)
+    return [synthetic_speech(n + 997 * i, seed=base + i) for i in range(size)]

