@@ -1,0 +1,79 @@
+"""Evaluation CLI: attack x split sweep on a trained checkpoint.
+
+Parity target: ``python evaluate.py`` -> model_test()
+(uformerWM/evaluate.py:295-380): build datasets, load results/<run>/model
+checkpoint, sweep attacks x {train,test}, write sample_result.txt +
+results.csv.
+
+Usage:
+  python -m image_in_speech_watermarking_tpu.cli.evaluate \
+      --checkpoint results/<run>/model --arch ModelA \
+      --attacks closed_loop,awgn-15 --size 2
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    from image_in_speech_watermarking_tpu import data, models
+    from image_in_speech_watermarking_tpu.eval import (DEFAULT_ATTACKS,
+                                                       evaluate_model)
+    from image_in_speech_watermarking_tpu.train import checkpoint
+
+    p = argparse.ArgumentParser("evaluate")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint dir (results/<run>/model); "
+                        "fresh init if omitted (smoke mode)")
+    p.add_argument("--arch", default="Uformer_audio")
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--attacks", default=",".join(DEFAULT_ATTACKS))
+    p.add_argument("--size", type=int, default=5,
+                   help="utterances per split (evaluate.py:327-331 uses 5)")
+    p.add_argument("--result_dir", default="results/eval")
+    p.add_argument("--wm_source", default="digits")
+    p.add_argument("--use_host_codecs", action="store_true",
+                   help="real ffmpeg aac/mp3 instead of the codec sim")
+    p.add_argument("--embed_dim", type=int, default=32)
+    args = p.parse_args(argv)
+
+    model = models.get_arch(args.arch, embed_dim=args.embed_dim)
+    model_name = "modelA" if args.arch == "ModelA" else "uformer"
+
+    msgs = data.digit_watermarks(8, seed=0) \
+        if args.wm_source == "digits" else data.binary_watermarks(8, seed=0)
+
+    datasets = {}
+    for split in ("train", "test"):
+        waves = data.load_corpus(args.dataset, args.size, split=split)
+        datasets[split] = data.SpeechDataset(waves, kind="eval")
+
+    if args.checkpoint:
+        restored = checkpoint.restore(args.checkpoint)
+        variables = {"params": restored["params"]}
+        if "batch_stats" in restored:
+            variables["batch_stats"] = restored["batch_stats"]
+    else:
+        wave0, clips0, _ = datasets["train"].utterance(0)
+        variables = model.init(jax.random.key(0),
+                               jnp.asarray(clips0[:1]),
+                               jnp.asarray(msgs[:1]))
+
+    results = evaluate_model(
+        model, variables, datasets, msgs,
+        attacks=tuple(a for a in args.attacks.split(",") if a),
+        model_name=model_name, result_path=args.result_dir,
+        use_host_codecs=args.use_host_codecs)
+    for r in results:
+        print("Result on {set} set, attack: {attack}: Total clips: "
+              "{clips}, MSE loss {mse:.6f}, WM loss: {wm:.6f}, WM loss "
+              "after attack: {wm_att:.6f}, SNR score: {snr:.3f}".format(**r))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Training CLI.
+
+Parity target: ``python audio_uformer_stft.py --arch Uformer_audio
+--dataset tedlium`` (uformerWM/audio_uformer_stft.py:17-585 + the option
+surface of uformerWM/options.py:4-68). Adds TPU-native flags: --mesh,
+--dtype, --remat.
+
+Usage:
+  python -m image_in_speech_watermarking_tpu.cli.train \
+      --arch Uformer_audio --dataset synthetic --size 8 --nepoch 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("train")
+    # reference option surface (options.py:9-68)
+    p.add_argument("--arch", default="Uformer_audio")
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["tedlium", "librispeech", "synthetic"])
+    p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("--nepoch", type=int, default=300)
+    p.add_argument("--lr_initial", type=float, default=2e-4)
+    p.add_argument("--weight_decay", type=float, default=0.02)
+    p.add_argument("--warmup", action="store_true", default=True)
+    p.add_argument("--no-warmup", dest="warmup", action="store_false")
+    p.add_argument("--warmup_epochs", type=int, default=3)
+    p.add_argument("--train_ps", type=int, default=128)
+    p.add_argument("--embed_dim", type=int, default=32)
+    p.add_argument("--win_size", type=int, default=8)
+    p.add_argument("--token_projection", default="linear")
+    p.add_argument("--token_mlp", default="leff")
+    p.add_argument("--dd_in", type=int, default=2)
+    p.add_argument("--image_scale", type=float, default=1.0)
+    p.add_argument("--audio_scale", default="0")
+    p.add_argument("--wm_source", default="digits",
+                   choices=["digits", "binary", "mnist"])
+    p.add_argument("--size", type=int, default=300,
+                   help="utterances to load")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--result_dir", default=None)
+    # TPU-native extras
+    p.add_argument("--mesh", default="-1",
+                   help="mesh shape, e.g. '8' (dp) or '4,2' (dp,fsdp)")
+    p.add_argument("--remat", action="store_true")
+    return p
+
+
+def main(argv=None) -> str:
+    from image_in_speech_watermarking_tpu import data, models
+    from image_in_speech_watermarking_tpu.config import TrainConfig
+    from image_in_speech_watermarking_tpu.parallel import make_mesh
+    from image_in_speech_watermarking_tpu.train import Trainer
+
+    args = build_parser().parse_args(argv)
+    shape = tuple(int(s) for s in args.mesh.split(","))
+    axes = ("data", "model")[: len(shape)]
+    cfg = TrainConfig(
+        arch=args.arch, dataset=args.dataset, batch_size=args.batch_size,
+        nepoch=args.nepoch, lr_initial=args.lr_initial,
+        weight_decay=args.weight_decay, warmup=args.warmup,
+        warmup_epochs=args.warmup_epochs, train_ps=args.train_ps,
+        image_scale=args.image_scale, audio_scale=args.audio_scale,
+        seed=args.seed, mesh_shape=shape, mesh_axes=axes,
+        remat=args.remat)
+
+    model = models.get_arch(
+        args.arch, train_ps=args.train_ps, embed_dim=args.embed_dim,
+        win_size=args.win_size, token_projection=args.token_projection,
+        token_mlp=args.token_mlp, dd_in=args.dd_in,
+        **({"use_remat": True} if args.remat
+           and args.arch == "Uformer_audio" else {}))
+
+    waves = data.load_corpus(args.dataset, args.size, split="train",
+                             seed=args.seed)
+    ds = data.SpeechDataset(waves, kind="train",
+                            audio_scale=args.audio_scale)
+    steps = max(len(ds) // args.batch_size, 1)
+    wm = data.watermark_stream(args.batch_size, source=args.wm_source,
+                               seed=args.seed,
+                               image_scale=args.image_scale)
+
+    # run-dir naming parity: results/<arch>-<dataset>-<timestamp>
+    # (audio_uformer_stft.py:373-379)
+    result_dir = args.result_dir or os.path.join(
+        "results", "{}-{}-{}".format(
+            args.arch, args.dataset,
+            datetime.datetime.now().strftime("%d%m%Y_%H%M%S")))
+
+    mesh = make_mesh(shape, axes)
+    trainer = Trainer(model, cfg, steps_per_epoch=steps, mesh=mesh)
+    trainer.fit(ds, wm, result_dir=result_dir)
+    print(f"done; artifacts in {result_dir}")
+    return result_dir
+
+
+if __name__ == "__main__":
+    main()

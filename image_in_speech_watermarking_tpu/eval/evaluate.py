@@ -1,0 +1,90 @@
+"""Attack x split evaluation sweep.
+
+Parity target: ``evaluate.test`` / ``model_test``
+(uformerWM/evaluate.py:174-380) — per attack and data split, aggregate
+Total Clips / MSE / WM loss / WM loss after attack / SNR / PESQ, append a
+``sample_result.txt`` line with the reference's exact format (so
+result_extract.py's regex works unchanged), and emit ``results.csv``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from image_in_speech_watermarking_tpu.eval.pipeline import reconstruct_audio
+from image_in_speech_watermarking_tpu.eval.result_extract import (
+    process_data_to_csv)
+
+RESULT_LINE = ("Result on {set} set, attack: {attack}: Total clips: "
+               "{clips}, MSE loss {mse}, WM loss: {wm}, WM loss after "
+               "attack: {wm_att}, SNR score: {snr}, PESQ score: {pesq}\n")
+
+DEFAULT_ATTACKS = (
+    "closed_loop", "amplitude_scaling-0.8", "echo_addition", "low_pass",
+    "awgn-15", "resampling", "requantization", "jittering-1000",
+    "jittering_2-1000", "aac", "mp3compress-64k",
+)
+
+
+def evaluate_split(model, variables, dataset, messages,
+                   attack: str = "closed_loop", data_cat: str = "train",
+                   model_name: str = "uformer",
+                   result_path: Optional[str] = None,
+                   use_host_codecs: bool = False, seed: int = 0) -> dict:
+    """Evaluate one attack over every utterance of a split
+    (evaluate.py:174-293, minus the png/wav artifact dumps)."""
+    mses, wms, wms_att, snrs, pesqs, clips_n = [], [], [], [], [], []
+    for i in range(len(dataset)):
+        wave, clips, tail = dataset.utterance(i)
+        msg = messages[i % len(messages)][None]
+        r = reconstruct_audio(
+            wave, clips, tail, msg, model, variables, attack=attack,
+            model_name=model_name,
+            attack_key=jax.random.key(seed + i),
+            use_host_codecs=use_host_codecs)
+        mses.append(r.audio_mse)
+        wms.append(r.wm_mse)
+        wms_att.append(r.wm_mse_att)
+        snrs.append(r.snr)
+        if r.pesq is not None:
+            pesqs.append(r.pesq)
+        clips_n.append(r.n_clips)
+
+    agg = {
+        "set": data_cat, "attack": attack,
+        "clips": int(np.sum(clips_n)),
+        "mse": float(np.mean(mses)),
+        "wm": float(np.mean(wms)),
+        "wm_att": float(np.mean(wms_att)),
+        "snr": float(np.mean(snrs)),
+        "pesq": float(np.mean(pesqs)) if pesqs else float("nan"),
+    }
+    if result_path:
+        os.makedirs(result_path, exist_ok=True)
+        with open(os.path.join(result_path, "sample_result.txt"), "a") as f:
+            f.write(RESULT_LINE.format(**agg))
+    return agg
+
+
+def evaluate_model(model, variables, datasets: dict, messages,
+                   attacks: Sequence[str] = DEFAULT_ATTACKS,
+                   model_name: str = "uformer",
+                   result_path: Optional[str] = None,
+                   use_host_codecs: bool = False) -> list[dict]:
+    """attack x {train, test} sweep (evaluate.py:369-380) + results.csv."""
+    results = []
+    for attack in attacks:
+        for data_cat, ds in datasets.items():
+            results.append(evaluate_split(
+                model, variables, ds, messages, attack=attack,
+                data_cat=data_cat, model_name=model_name,
+                result_path=result_path, use_host_codecs=use_host_codecs))
+    if result_path:
+        with open(os.path.join(result_path, "sample_result.txt")) as f:
+            process_data_to_csv(f.read(),
+                                os.path.join(result_path, "results.csv"))
+    return results

@@ -1,0 +1,131 @@
+"""Whole-utterance embed -> attack -> extract evaluation pipeline.
+
+Parity target: ``reconstruct_audio`` (uformerWM/audio_test.py:528-828) and
+``evaluate.test`` (uformerWM/evaluate.py:174-293):
+
+  per clip: model(clip, msg) -> collect channel-simmed spectrograms +
+  wm decodes; concat (last clip trimmed to its valid frames); ISTFT
+  (n_fft=255, length=orig); apply one named attack; re-STFT; pad + chunk;
+  model.wm_decode per chunk; MSE/SNR/PESQ metrics.
+
+TPU-first redesign: the reference ping-pongs clip-by-clip through
+``.detach().cpu().numpy()`` (audio_test.py:584-612). Here the clip loop is
+a single batched model call (clips are the batch dim), the concat/ISTFT/
+re-STFT/re-chunk are traced ops, and the whole embed->attack->extract
+chain is ONE jit program per (clip-count, attack) signature. Host-codec
+attacks (attacks/host.py) break the chain at the waveform boundary only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_in_speech_watermarking_tpu.attacks import host as host_attacks
+from image_in_speech_watermarking_tpu.attacks import waveform as wf
+from image_in_speech_watermarking_tpu.config import CLIP_FRAMES, EVAL_N_FFT
+from image_in_speech_watermarking_tpu.dsp.stft import (istft_ri,
+                                                       spec_to_clips,
+                                                       stft_ri)
+from image_in_speech_watermarking_tpu.eval import metrics as M
+
+
+@dataclasses.dataclass
+class UtteranceResult:
+    recon_audio: np.ndarray
+    att_audio: np.ndarray
+    wm_decoded: np.ndarray          # (n_clips, 32, 32, 1), no attack
+    wm_decoded_att: np.ndarray      # (n_clips_att, 32, 32, 1)
+    audio_mse: float
+    wm_mse: float
+    wm_mse_att: float
+    snr: float
+    pesq: Optional[float]
+    n_clips: int
+
+
+def _model_embed_fwd(model, variables, clips, message, model_name):
+    """One forward per clip batch -> (channel-simmed spec, wm decode)
+    matching the per-model calling conventions
+    (uformerWM/audio_test.py:552-555)."""
+    b = clips.shape[0]
+    msg = jnp.broadcast_to(message, (b,) + message.shape[-3:])
+    if model_name == "modelA":
+        audio, wm = model.apply(variables, clips, msg)
+    else:
+        audio, _, _, wm = model.apply(variables, clips, msg)
+    return audio, wm
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _embed_jit(model, variables, clips, message, model_name, length,
+               valid_last: int = CLIP_FRAMES):
+    audio_clips, wm = _model_embed_fwd(model, variables, clips, message,
+                                       model_name)
+    # trim last clip to its valid frames, concat on time, single ISTFT
+    # (audio_test.py:589-600)
+    n, bins, f, _ = audio_clips.shape
+    spec = audio_clips.transpose(1, 0, 2, 3).reshape(bins, n * f, 2)
+    spec = spec[:, : (n - 1) * f + valid_last]
+    recon = istft_ri(spec, n_fft=EVAL_N_FFT, length=length)
+    return recon, wm
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _extract_jit(model, variables, att_audio, model_name):
+    """re-STFT -> pad -> chunk -> wm_decode per chunk
+    (audio_test.py:676-712)."""
+    spec = stft_ri(att_audio, n_fft=EVAL_N_FFT)
+    clips, _ = spec_to_clips(spec, CLIP_FRAMES)
+    if model_name == "modelA":
+        return model.apply(variables, clips, method="decode")
+    return model.apply(variables, clips, method="wm_decode")
+
+
+def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
+                      model, variables, attack: str = "closed_loop",
+                      model_name: str = "uformer",
+                      attack_key=None,
+                      use_host_codecs: bool = False) -> UtteranceResult:
+    """Full-utterance embed -> attack -> extract with the reference's
+    metric set (audio_test.py:528-828)."""
+    wave_j = jnp.asarray(wave).reshape(-1)
+    clips_j = jnp.asarray(clips)
+    msg_j = jnp.asarray(message)
+    length = int(wave_j.shape[-1])
+
+    recon, wm_decoded = _embed_jit(model, variables, clips_j, msg_j,
+                                   model_name, length, int(valid_last))
+
+    # ---- attack (device-jax by default; host ffmpeg for codec parity)
+    name = attack.split("-")[0]
+    if attack_key is None:
+        attack_key = jax.random.key(0)
+    if use_host_codecs and name in ("aac", "mp3compress") \
+            and host_attacks.have_ffmpeg():
+        att_audio = jnp.asarray(
+            host_attacks.HOST_ATTACKS[name](np.asarray(recon)))
+    else:
+        att_audio = wf.get_attack(attack)(attack_key, recon)
+
+    wm_decoded_att = _extract_jit(model, variables, att_audio, model_name)
+
+    audio_mse = M.mse(wave_j, recon)
+    wm_mse = M.mse(wm_decoded, jnp.broadcast_to(
+        msg_j, wm_decoded.shape))
+    wm_mse_att = M.mse(wm_decoded_att, jnp.broadcast_to(
+        msg_j, wm_decoded_att.shape))
+    snr = M.cal_snr(np.asarray(wave_j), np.asarray(att_audio))
+    pesq = M.cal_pesq(np.asarray(wave_j), np.asarray(att_audio))
+
+    return UtteranceResult(
+        recon_audio=np.asarray(recon), att_audio=np.asarray(att_audio),
+        wm_decoded=np.asarray(wm_decoded),
+        wm_decoded_att=np.asarray(wm_decoded_att),
+        audio_mse=audio_mse, wm_mse=wm_mse, wm_mse_att=wm_mse_att,
+        snr=snr, pesq=pesq, n_clips=int(clips_j.shape[0]))

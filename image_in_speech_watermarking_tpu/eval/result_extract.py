@@ -1,0 +1,37 @@
+"""sample_result.txt -> results.csv extraction.
+
+Parity target: uformerWM/result_extract.py:12-42 — identical regex and
+CSV schema (Set, Attack, Total Clips, MSE Loss, WM Loss, WM Loss After
+Attack, SNR Score, PESQ Score)."""
+
+from __future__ import annotations
+
+import csv
+import re
+
+PATTERN = (r"Result on (.*) set, attack: (.*): Total clips: (.*), "
+           r"MSE loss (.*), WM loss: (.*), WM loss after attack: (.*), "
+           r"SNR score: (.*), PESQ score: (.*)")
+
+FIELDNAMES = ["Set", "Attack", "Total Clips", "MSE Loss", "WM Loss",
+              "WM Loss After Attack", "SNR Score", "PESQ Score"]
+
+
+def process_data_to_csv(data: str, out_csv: str) -> list[dict]:
+    results = re.findall(PATTERN, data)
+    rows = [{
+        "Set": r[0],
+        "Attack": r[1],
+        "Total Clips": int(r[2]),
+        "MSE Loss": float(r[3]),
+        "WM Loss": float(r[4]),
+        "WM Loss After Attack": float(r[5]),
+        "SNR Score": float(r[6]),
+        "PESQ Score": float(r[7]),
+    } for r in results]
+    with open(out_csv, "w") as f:
+        writer = csv.DictWriter(f, fieldnames=FIELDNAMES)
+        writer.writeheader()
+        for row in rows:
+            writer.writerow(row)
+    return rows

@@ -1,0 +1,93 @@
+"""Evaluation pipeline tests: reconstruct->attack->extract chain, metric
+formulas, result line format + CSV extraction parity."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from image_in_speech_watermarking_tpu import data, models
+from image_in_speech_watermarking_tpu.eval import (
+    evaluate_model, metrics, process_data_to_csv, reconstruct_audio)
+
+
+@pytest.fixture(scope="module")
+def model_a():
+    model = models.ModelA()
+    import jax.numpy as jnp
+    stft = jnp.zeros((1, 128, 128, 2))
+    wm = jnp.zeros((1, 32, 32, 1))
+    variables = model.init(jax.random.key(0), stft, wm)
+    return model, variables
+
+
+@pytest.fixture(scope="module")
+def eval_ds():
+    waves = data.load_corpus("synthetic", 2, split="test", utt_seconds=3.0)
+    return data.SpeechDataset(waves, kind="eval")
+
+
+def test_metric_formulas():
+    x = np.sin(np.linspace(0, 40, 16000))
+    noisy = x + 0.01 * np.random.default_rng(0).standard_normal(16000)
+    snr = metrics.cal_snr(x, noisy)
+    assert 30 < snr < 44  # power ratio ~ (0.7/0.01)^2
+    assert metrics.cal_snr(x, x) == float("inf")
+    assert metrics.mse(x, x) == 0.0
+    msg = np.random.default_rng(1).integers(0, 2, (4, 32, 32, 1))
+    assert metrics.bitwise_error(msg, msg) == 0.0
+    assert metrics.bitwise_error(1 - msg, msg) == 1.0
+    s = metrics.signaltonoise(np.full(100, 3.0) + 1e-9)
+    assert s > 100  # near-constant signal -> huge value
+
+
+def test_reconstruct_audio_chain(model_a, eval_ds):
+    """Untrained model: the chain must still run end to end with correct
+    shapes and finite metrics (the reference integration-test role,
+    SURVEY §4.1)."""
+    model, variables = model_a
+    wave, clips, tail = eval_ds.utterance(0)
+    msg = data.digit_watermarks(1)
+    r = reconstruct_audio(wave, clips, tail, msg, model, variables,
+                          attack="awgn-15", model_name="modelA")
+    assert r.recon_audio.shape[-1] == len(np.asarray(wave).reshape(-1))
+    assert r.att_audio.shape == r.recon_audio.shape
+    assert r.wm_decoded.shape[1:] == (32, 32, 1)
+    assert r.wm_decoded_att.shape[1:] == (32, 32, 1)
+    assert np.isfinite([r.audio_mse, r.wm_mse, r.wm_mse_att, r.snr]).all()
+    assert r.n_clips == clips.shape[0]
+
+
+def test_evaluate_sweep_and_csv(model_a, eval_ds, tmp_path):
+    """Sweep writes reference-format sample_result.txt lines and a
+    parseable results.csv (evaluate.py:285-292, result_extract.py:12-42)."""
+    model, variables = model_a
+    msgs = data.digit_watermarks(2)
+    out = str(tmp_path)
+    results = evaluate_model(
+        model, variables, {"test": eval_ds}, msgs,
+        attacks=("closed_loop", "amplitude_scaling-0.8"),
+        model_name="modelA", result_path=out)
+    assert len(results) == 2
+    txt = open(os.path.join(out, "sample_result.txt")).read()
+    assert "Result on test set, attack: closed_loop:" in txt
+    rows = process_data_to_csv(txt, os.path.join(out, "results2.csv"))
+    assert len(rows) == 2
+    assert rows[0]["Set"] == "test"
+    assert rows[0]["Total Clips"] == results[0]["clips"]
+    csv_text = open(os.path.join(out, "results.csv")).read()
+    assert csv_text.startswith("Set,Attack,Total Clips,MSE Loss")
+
+
+def test_closed_loop_attack_extract_consistency(model_a, eval_ds):
+    """With closed_loop, the attacked extraction reads the same audio the
+    no-attack path produced; for a model with bounded outputs both wm MSEs
+    must be in [0, 1] and comparable."""
+    model, variables = model_a
+    wave, clips, tail = eval_ds.utterance(1)
+    msg = data.digit_watermarks(1, seed=5)
+    r = reconstruct_audio(wave, clips, tail, msg, model, variables,
+                          attack="closed_loop", model_name="modelA")
+    assert 0 <= r.wm_mse <= 1.0
+    assert 0 <= r.wm_mse_att <= 1.0
