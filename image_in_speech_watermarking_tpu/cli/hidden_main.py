@@ -1,0 +1,115 @@
+"""HiDDeN training CLI: ``new`` / ``continue`` runs.
+
+Parity target: the absent hidden/main.py, reconstructed from
+hidden/README.md:41-63 and hidden/runfiles/*.sh:
+  main.py new --name <exp> --data-dir <d> --batch-size <b>
+      --noise 'crop(...)+jpeg()' ...
+  main.py continue --folder <runs/exp folder>
+plus the epoch loop contract of hidden/utils.py (AverageMeter
+accumulation, write_losses CSV, checkpoint dict every epoch).
+
+Covers are time-domain 128x128 audio clips (hidden/audio_test.py:98-114),
+messages are 32x32 watermark images (hidden/utils.py:125-137).
+
+Usage:
+  python -m image_in_speech_watermarking_tpu.cli.hidden_main new \
+      --name smoke --epochs 2 --size 4 --noise 'dropout(0.55,0.6)'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    from image_in_speech_watermarking_tpu import data
+    from image_in_speech_watermarking_tpu.attacks import parse_noise_config
+    from image_in_speech_watermarking_tpu.config import HiDDenConfig
+    from image_in_speech_watermarking_tpu.train import checkpoint as ckpt
+    from image_in_speech_watermarking_tpu.train.hidden_trainer import Hidden
+    from image_in_speech_watermarking_tpu.utils import (
+        AverageMeter, create_folder_for_run, write_losses)
+
+    p = argparse.ArgumentParser("hidden_main")
+    p.add_argument("mode", choices=["new", "continue"])
+    p.add_argument("--name", default="hidden")
+    p.add_argument("--folder", default=None,
+                   help="run folder for continue mode")
+    p.add_argument("--runs-folder", default="runs")
+    p.add_argument("--batch-size", type=int, default=12)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--noise", default="")
+    p.add_argument("--size", type=int, default=32,
+                   help="utterances to load")
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--message", type=int, default=32)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    config = HiDDenConfig(message_length=args.message)
+    noiser = parse_noise_config(args.noise)
+    net = Hidden(config, noiser=noiser)
+
+    # data: time-domain clips as covers + digit watermarks as messages
+    waves = data.load_corpus(args.dataset, args.size, seed=args.seed)
+    ds = data.SpeechDataset(waves, kind="audio")
+    covers = np.concatenate(ds.per_utterance, axis=0)
+    rng = np.random.default_rng(args.seed)
+
+    start_epoch = 1
+    if args.mode == "continue":
+        assert args.folder, "--folder required for continue"
+        run_dir = args.folder
+        img0 = jnp.asarray(covers[: args.batch_size])
+        msg0 = jnp.asarray(data.digit_watermarks(args.batch_size))
+        fresh = net.init_state(jax.random.key(args.seed), img0, msg0)
+        payload = ckpt.restore_tree(
+            os.path.join(run_dir, "checkpoints", "latest"),
+            like=net.checkpoint_payload(fresh, 0))
+        state = net.state_from_checkpoint(payload)
+        start_epoch = int(payload["epoch"]) + 1
+    else:
+        run_dir = create_folder_for_run(args.runs_folder, args.name)
+        with open(os.path.join(run_dir, "options.json"), "w") as f:
+            json.dump(vars(args), f, indent=2)
+        img0 = jnp.asarray(covers[: args.batch_size])
+        msg0 = jnp.asarray(data.digit_watermarks(args.batch_size))
+        state = net.init_state(jax.random.key(args.seed), img0, msg0)
+
+    key = jax.random.key(args.seed)
+    for epoch in range(start_epoch, args.epochs + 1):
+        t0 = time.time()
+        meters = {}
+        order = rng.permutation(len(covers))
+        nb = max(len(covers) // args.batch_size, 1)
+        for b in range(nb):
+            idx = order[b * args.batch_size:(b + 1) * args.batch_size]
+            if len(idx) < args.batch_size:
+                break
+            img = jnp.asarray(covers[idx])
+            msg = jnp.asarray(data.digit_watermarks(
+                args.batch_size, seed=epoch * 1000 + b))
+            key, sub = jax.random.split(key)
+            state, losses, _ = net.train_on_batch(state, [img, msg], sub)
+            for k, v in losses.items():
+                meters.setdefault(k, AverageMeter()).update(v)
+        avg = {k: m.avg for k, m in meters.items()}
+        write_losses(os.path.join(run_dir, "train.csv"), avg, epoch,
+                     time.time() - t0)
+        print(f"epoch {epoch}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in avg.items()))
+        ckpt.save_tree(os.path.join(run_dir, "checkpoints", "latest"),
+                       net.checkpoint_payload(state, epoch))
+    print(f"run folder: {run_dir}")
+    return run_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -43,11 +43,33 @@ def save(path: str, state, epoch: int = 0) -> str:
     return path
 
 
-def restore(path: str) -> dict:
+def restore(path: str, like: Any = None) -> dict:
+    """Restore a checkpoint; with ``like`` (a template pytree, e.g. a
+    freshly-initialized state) the stored leaves are poured back into the
+    template's exact structure (optax namedtuples etc.)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    restored = ckptr.restore(os.path.abspath(path))
+    if like is None:
+        return restored
+    leaves, treedef = jax.tree.flatten(like)
+    rleaves = jax.tree.leaves(restored)
+    assert len(leaves) == len(rleaves), (len(leaves), len(rleaves))
+    return jax.tree.unflatten(treedef, rleaves)
+
+
+def save_tree(path: str, tree: Any) -> str:
+    """Save an arbitrary pytree (e.g. the HiDDeN dict checkpoint,
+    hidden/utils.py:84-90)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), _to_host(tree), force=True)
+    return path
+
+
+restore_tree = restore
 
 
 def last_checkpoint_from_folder(folder: str) -> Optional[str]:
