@@ -62,6 +62,9 @@ class UformerConfig:
     # In-graph channel simulation STFT (model.py:2458-2463)
     n_fft: int = EVAL_N_FFT
     hop_length: int = EVAL_HOP
+    # TPU compute dtype policy: matmuls/convs run in this dtype;
+    # LayerNorm, softmax, the DFT and output projections stay f32.
+    compute_dtype: str = "float32"
 
     # Stock image-restoration Uformer (model.py:2545) uses depths of 2s and
     # dd_in=3/in_chans=3; construct via `stock_uformer()` below.

@@ -94,11 +94,13 @@ class InputProj(nn.Module):
     """conv3x3 + LeakyReLU, image -> tokens (model.py:810-829)."""
 
     out_channel: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, _ = x.shape
-        y = nn.Conv(self.out_channel, (3, 3), padding=1, name="proj")(x)
+        y = nn.Conv(self.out_channel, (3, 3), padding=1, dtype=self.dtype,
+                    name="proj")(x)
         y = nn.leaky_relu(y, negative_slope=0.01)
         return y.reshape(b, h * w, self.out_channel)
 
@@ -107,26 +109,31 @@ class OutputProj(nn.Module):
     """tokens -> conv3x3 image (model.py:843-875)."""
 
     out_channel: int = 2
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
         b, l, c = x.shape
         assert l == h * w, (l, h, w)
         y = x.reshape(b, h, w, c)
-        return nn.Conv(self.out_channel, (3, 3), padding=1, name="proj")(y)
+        # final projection in f32 for output fidelity
+        return nn.Conv(self.out_channel, (3, 3), padding=1,
+                       dtype=jnp.float32, name="proj")(
+                           y.astype(jnp.float32))
 
 
 class Downsample(nn.Module):
     """conv4x4 stride2 pad1 on the token grid (model.py:759-782)."""
 
     out_channel: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
         b, l, c = x.shape
         y = x.reshape(b, h, w, c)
         y = nn.Conv(self.out_channel, (4, 4), strides=2, padding=1,
-                    name="conv")(y)
+                    dtype=self.dtype, name="conv")(y)
         return y.reshape(b, (h // 2) * (w // 2), self.out_channel)
 
 
@@ -134,13 +141,14 @@ class Upsample(nn.Module):
     """convT 2x2 stride2 on the token grid (model.py:785-807)."""
 
     out_channel: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
         b, l, c = x.shape
         y = x.reshape(b, h, w, c)
         y = nn.ConvTranspose(self.out_channel, (2, 2), strides=(2, 2),
-                             name="deconv")(y)
+                             dtype=self.dtype, name="deconv")(y)
         return y.reshape(b, (h * 2) * (w * 2), self.out_channel)
 
 
@@ -149,13 +157,16 @@ class Mlp(nn.Module):
 
     hidden_dim: int
     out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out = self.out_dim or x.shape[-1]
-        y = nn.Dense(self.hidden_dim, kernel_init=trunc_init, name="fc1")(x)
+        y = nn.Dense(self.hidden_dim, kernel_init=trunc_init,
+                     dtype=self.dtype, name="fc1")(x)
         y = nn.gelu(y, approximate=False)
-        return nn.Dense(out, kernel_init=trunc_init, name="fc2")(y)
+        return nn.Dense(out, kernel_init=trunc_init, dtype=self.dtype,
+                        name="fc2")(y)
 
 
 class LeFF(nn.Module):
@@ -163,18 +174,22 @@ class LeFF(nn.Module):
     3x3 on the restored HxW grid + GELU -> linear."""
 
     hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
         b, l, c = x.shape
-        y = nn.Dense(self.hidden_dim, kernel_init=trunc_init, name="linear1")(x)
+        y = nn.Dense(self.hidden_dim, kernel_init=trunc_init,
+                     dtype=self.dtype, name="linear1")(x)
         y = nn.gelu(y, approximate=False)
         y = y.reshape(b, h, w, self.hidden_dim)
         y = nn.Conv(self.hidden_dim, (3, 3), padding=1,
-                    feature_group_count=self.hidden_dim, name="dwconv")(y)
+                    feature_group_count=self.hidden_dim, dtype=self.dtype,
+                    name="dwconv")(y)
         y = nn.gelu(y, approximate=False)
         y = y.reshape(b, l, self.hidden_dim)
-        return nn.Dense(c, kernel_init=trunc_init, name="linear2")(y)
+        return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
+                        name="linear2")(y)
 
 
 class WindowAttention(nn.Module):
@@ -187,6 +202,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     token_projection: str = "linear"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -202,14 +218,16 @@ class WindowAttention(nn.Module):
 
             def sep_conv(name):
                 y = nn.Conv(c, (3, 3), padding=1, feature_group_count=c,
-                            name=f"{name}_dw")(img)
+                            dtype=self.dtype, name=f"{name}_dw")(img)
                 return nn.Conv(c, (1, 1), use_bias=self.qkv_bias,
+                               dtype=self.dtype,
                                name=f"{name}_pw")(y).reshape(b_, n, c)
 
             q, k, v = sep_conv("to_q"), sep_conv("to_k"), sep_conv("to_v")
         else:
             qkv = nn.Dense(3 * c, use_bias=self.qkv_bias,
-                           kernel_init=trunc_init, name="qkv")(x)
+                           kernel_init=trunc_init, dtype=self.dtype,
+                           name="qkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
         q = q.reshape(b_, n, heads, head_dim).transpose(0, 2, 1, 3) * scale
@@ -232,10 +250,13 @@ class WindowAttention(nn.Module):
                 + mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(b_, heads, n, n)
 
-        attn = jax.nn.softmax(attn, axis=-1)
+        # softmax in f32 regardless of compute dtype
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.astype(v.dtype)
         y = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(c, kernel_init=trunc_init, name="proj")(y)
+        return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
+                        name="proj")(y)
 
 
 class DropPath(nn.Module):
@@ -271,6 +292,7 @@ class LeWinTransformerBlock(nn.Module):
     token_projection: str = "linear"
     token_mlp: str = "leff"
     modulator: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -282,7 +304,10 @@ class LeWinTransformerBlock(nn.Module):
         assert l == h * w
 
         shortcut = x
-        y = nn.LayerNorm(name="norm1")(x).reshape(b, h, w, c)
+        # LayerNorm in f32 (dtype=f32 upcasts internally), output in the
+        # block compute dtype
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        y = y.astype(self.dtype).reshape(b, h, w, c)
 
         if shift > 0:
             y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
@@ -301,7 +326,7 @@ class LeWinTransformerBlock(nn.Module):
         attn_windows = WindowAttention(
             dim=self.dim, win_size=(win, win), num_heads=self.num_heads,
             qkv_bias=self.qkv_bias, token_projection=self.token_projection,
-            name="attn")(wmsa_in, mask=mask)
+            dtype=self.dtype, name="attn")(wmsa_in, mask=mask)
 
         y = window_reverse(attn_windows, win, h, w)
         if shift > 0:
@@ -309,14 +334,15 @@ class LeWinTransformerBlock(nn.Module):
         y = y.reshape(b, l, c)
 
         dp = DropPath(self.drop_path, name="drop_path")
-        x = shortcut + dp(y, deterministic)
+        x = shortcut + dp(y.astype(shortcut.dtype), deterministic)
 
-        z = nn.LayerNorm(name="norm2")(x)
+        z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        z = z.astype(self.dtype)
         hidden = int(self.dim * self.mlp_ratio)
         if self.token_mlp in ("ffn", "mlp"):
-            z = Mlp(hidden_dim=hidden, name="mlp")(z)
+            z = Mlp(hidden_dim=hidden, dtype=self.dtype, name="mlp")(z)
         else:  # leff / fastleff share the math (model.py:43-87,686-728)
-            z = LeFF(hidden_dim=hidden, name="mlp")(z, h, w)
+            z = LeFF(hidden_dim=hidden, dtype=self.dtype, name="mlp")(z, h, w)
         return x + dp(z, deterministic)
 
 
@@ -337,6 +363,7 @@ class BasicUformerLayer(nn.Module):
     shift_flag: bool = True
     modulator: bool = False
     use_remat: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -350,7 +377,7 @@ class BasicUformerLayer(nn.Module):
                 drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
                 token_projection=self.token_projection,
                 token_mlp=self.token_mlp, modulator=self.modulator,
-                name=f"blocks_{i}")
+                dtype=self.dtype, name=f"blocks_{i}")
             if self.use_remat:
                 x = nn.remat(lambda m, a: m(a, deterministic))(block, x)
             else:

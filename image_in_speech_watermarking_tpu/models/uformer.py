@@ -33,6 +33,10 @@ from image_in_speech_watermarking_tpu.models.layers import (
 )
 
 
+def _cdtype(cfg):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 def _enc_dpr(depths: Sequence[int], rate: float = 0.1) -> list[float]:
     """Stochastic-depth schedule: linspace over encoder blocks
     (model.py:1123-1126)."""
@@ -51,6 +55,7 @@ class UformerEncoder(nn.Module):
     @nn.compact
     def __call__(self, y: jnp.ndarray, deterministic: bool = True):
         cfg = self.cfg
+        dt = _cdtype(cfg)
         e, res = cfg.embed_dim, cfg.img_size
         dpr = _enc_dpr(cfg.depths)
         outs = []
@@ -64,11 +69,12 @@ class UformerEncoder(nn.Module):
                 drop_path=tuple(dpr[offset:offset + cfg.depths[i]]),
                 token_projection=cfg.token_projection,
                 token_mlp=cfg.token_mlp, shift_flag=cfg.shift_flag,
-                use_remat=self.use_remat,
+                use_remat=self.use_remat, dtype=dt,
                 name=f"encoderlayer_{i}")(y, deterministic)
             outs.append(y)
             offset += cfg.depths[i]
-            y = Downsample(dim * 2, name=f"dowsample_{i}")(y, res, res)
+            y = Downsample(dim * 2, dtype=dt,
+                           name=f"dowsample_{i}")(y, res, res)
             res //= 2
         # Bottleneck (conv_dpr = [rate]*depths[4], model.py:1125)
         y = BasicUformerLayer(
@@ -77,7 +83,7 @@ class UformerEncoder(nn.Module):
             mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
             drop_path=(0.1,) * cfg.depths[4],
             token_projection=cfg.token_projection, token_mlp=cfg.token_mlp,
-            shift_flag=cfg.shift_flag, use_remat=self.use_remat,
+            shift_flag=cfg.shift_flag, use_remat=self.use_remat, dtype=dt,
             name="conv")(y, deterministic)
         outs.append(y)
         return tuple(outs)  # conv0..conv4
@@ -108,7 +114,8 @@ class UformerDecoder(nn.Module):
         for i in range(4):
             depth = cfg.depths[5 + i]
             up_out = e * (8 // (2 ** i))            # 8E, 4E, 2E, 1E
-            y = Upsample(up_out, name=f"upsample_{i}")(y, res, res)
+            y = Upsample(up_out, dtype=_cdtype(cfg),
+                         name=f"upsample_{i}")(y, res, res)
             res *= 2
             y = jnp.concatenate([y, skips[i]], axis=-1)
             dim = up_out * 2
@@ -120,6 +127,7 @@ class UformerDecoder(nn.Module):
                 token_projection=cfg.token_projection,
                 token_mlp=cfg.token_mlp, shift_flag=cfg.shift_flag,
                 modulator=cfg.modulator, use_remat=self.use_remat,
+                dtype=_cdtype(cfg),
                 name=f"decoderlayer_{i}")(y, deterministic)
             offset += depth
             in_mult = dim // e
@@ -166,7 +174,8 @@ class EncoderTransformerWM(nn.Module):
     @nn.compact
     def __call__(self, y: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.cfg
-        tokens = InputProj(cfg.embed_dim, name="input_proj")(y)
+        tokens = InputProj(cfg.embed_dim, dtype=_cdtype(cfg),
+                           name="input_proj")(y)
         # Extractor encoder has no modulator/shift difference from the main
         # one; weights are separate (model.py:1462-1566).
         *_, conv4 = UformerEncoder(cfg, use_remat=self.use_remat,
@@ -180,7 +189,7 @@ class EncoderTransformerWM(nn.Module):
         sh, sw = l // 4, c // 64
         pad_h = max(0, 3 * sh + 8 - l)
         pad_w = max(0, 63 * sw + 8 - c)
-        img = conv4.reshape(b, l, c, 1)
+        img = conv4.astype(jnp.float32).reshape(b, l, c, 1)
         feat = nn.Conv(1, (8, 8), strides=(sh, sw),
                        padding=((0, pad_h), (0, pad_w)),
                        name="conv2")(img)[:, :4, :64]        # (B, 4, 64, 1)
@@ -219,7 +228,8 @@ class UformerAudio(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.input_proj = InputProj(cfg.embed_dim, name="input_proj")
+        self.input_proj = InputProj(cfg.embed_dim, dtype=_cdtype(cfg),
+                                    name="input_proj")
         self.output_proj = OutputProj(cfg.in_chans, name="output_proj")
         self.encoder = UformerEncoder(cfg, use_remat=self.use_remat,
                                       name="encoder")
