@@ -65,6 +65,8 @@ class UformerConfig:
     # TPU compute dtype policy: matmuls/convs run in this dtype;
     # LayerNorm, softmax, the DFT and output projections stay f32.
     compute_dtype: str = "float32"
+    # Fused Pallas window-attention kernel (ops/window_attention.py)
+    use_pallas_attention: bool = False
 
     # Stock image-restoration Uformer (model.py:2545) uses depths of 2s and
     # dd_in=3/in_chans=3; construct via `stock_uformer()` below.

@@ -5,3 +5,9 @@ from image_in_speech_watermarking_tpu.data.speech import (  # noqa: F401
 from image_in_speech_watermarking_tpu.data.watermark import (  # noqa: F401
     binary_watermarks, digit_watermarks, watermark_stream,
 )
+from image_in_speech_watermarking_tpu.data.legacy_audio import (  # noqa: F401
+    AudioMark, AudioMarkAll, align_audio_len, gen_watermarking, sw_to_stft,
+)
+from image_in_speech_watermarking_tpu.data.image_restoration import (  # noqa: F401
+    DenoisePatchDataset, synthetic_image_pairs,
+)

@@ -10,3 +10,9 @@ from image_in_speech_watermarking_tpu.models.hidden import (  # noqa: F401
     HiddenEncoder, HiddenDecoder, HiddenDiscriminator, HiddenEncoderDecoder,
 )
 from image_in_speech_watermarking_tpu.models.registry import get_arch  # noqa: F401
+from image_in_speech_watermarking_tpu.models.variants import (  # noqa: F401
+    ConvAutoencoder2, UformerAudioMod, UformerAudioV2, UformerAudioV4,
+)
+from image_in_speech_watermarking_tpu.models.extras import (  # noqa: F401
+    LPU, SAM, PosCNN,
+)

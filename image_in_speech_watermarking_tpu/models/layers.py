@@ -203,6 +203,7 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     token_projection: str = "linear"
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -212,7 +213,35 @@ class WindowAttention(nn.Module):
         head_dim = c // heads
         scale = head_dim ** -0.5
 
-        if self.token_projection == "conv":
+        table = self.param(
+            "relative_position_bias_table", trunc_init,
+            ((2 * self.win_size[0] - 1) * (2 * self.win_size[1] - 1), heads),
+        )
+        idx = relative_position_index(*self.win_size)
+        bias_nnh = table[idx.reshape(-1)].reshape(n, n, heads)
+        bias_hnn = bias_nnh.transpose(2, 0, 1)           # (heads, N, N)
+
+        if self.token_projection == "linear":
+            wqkv = self.param("qkv_kernel", trunc_init, (c, 3 * c))
+            bqkv = self.param("qkv_bias", nn.initializers.zeros,
+                              (3 * c,)) if self.qkv_bias \
+                else jnp.zeros((3 * c,), x.dtype)
+            wproj = self.param("proj_kernel", trunc_init, (c, c))
+            bproj = self.param("proj_bias", nn.initializers.zeros, (c,))
+
+            if self.use_pallas:
+                from image_in_speech_watermarking_tpu.ops import (
+                    fused_window_attention)
+
+                mask_f = mask.astype(jnp.float32) if mask is not None \
+                    else jnp.zeros((1, n, n), jnp.float32)
+                return fused_window_attention(
+                    x, wqkv, bqkv, wproj, bproj,
+                    bias_hnn.astype(jnp.float32), mask_f, heads)
+
+            qkv = x @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:  # 'conv' qkv (SepConv2d, model.py:373-447)
             wh, ww = self.win_size
             img = x.reshape(b_, wh, ww, c)
 
@@ -224,25 +253,15 @@ class WindowAttention(nn.Module):
                                name=f"{name}_pw")(y).reshape(b_, n, c)
 
             q, k, v = sep_conv("to_q"), sep_conv("to_k"), sep_conv("to_v")
-        else:
-            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias,
-                           kernel_init=trunc_init, dtype=self.dtype,
-                           name="qkv")(x)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            wproj = self.param("proj_kernel", trunc_init, (c, c))
+            bproj = self.param("proj_bias", nn.initializers.zeros, (c,))
 
         q = q.reshape(b_, n, heads, head_dim).transpose(0, 2, 1, 3) * scale
         k = k.reshape(b_, n, heads, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b_, n, heads, head_dim).transpose(0, 2, 1, 3)
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
-
-        table = self.param(
-            "relative_position_bias_table", trunc_init,
-            ((2 * self.win_size[0] - 1) * (2 * self.win_size[1] - 1), heads),
-        )
-        idx = relative_position_index(*self.win_size)
-        bias = table[idx.reshape(-1)].reshape(n, n, heads)
-        attn = attn + bias.transpose(2, 0, 1)[None]
+        attn = attn + bias_hnn.astype(attn.dtype)[None]
 
         if mask is not None:
             nw = mask.shape[0]
@@ -255,8 +274,7 @@ class WindowAttention(nn.Module):
         attn = attn.astype(v.dtype)
         y = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
-                        name="proj")(y)
+        return y @ wproj.astype(y.dtype) + bproj.astype(y.dtype)
 
 
 class DropPath(nn.Module):
@@ -293,6 +311,7 @@ class LeWinTransformerBlock(nn.Module):
     token_mlp: str = "leff"
     modulator: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -326,7 +345,8 @@ class LeWinTransformerBlock(nn.Module):
         attn_windows = WindowAttention(
             dim=self.dim, win_size=(win, win), num_heads=self.num_heads,
             qkv_bias=self.qkv_bias, token_projection=self.token_projection,
-            dtype=self.dtype, name="attn")(wmsa_in, mask=mask)
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            name="attn")(wmsa_in, mask=mask)
 
         y = window_reverse(attn_windows, win, h, w)
         if shift > 0:
@@ -364,6 +384,7 @@ class BasicUformerLayer(nn.Module):
     modulator: bool = False
     use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -377,7 +398,8 @@ class BasicUformerLayer(nn.Module):
                 drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
                 token_projection=self.token_projection,
                 token_mlp=self.token_mlp, modulator=self.modulator,
-                dtype=self.dtype, name=f"blocks_{i}")
+                dtype=self.dtype, use_pallas=self.use_pallas,
+                name=f"blocks_{i}")
             if self.use_remat:
                 x = nn.remat(lambda m, a: m(a, deterministic))(block, x)
             else:

@@ -70,6 +70,7 @@ class UformerEncoder(nn.Module):
                 token_projection=cfg.token_projection,
                 token_mlp=cfg.token_mlp, shift_flag=cfg.shift_flag,
                 use_remat=self.use_remat, dtype=dt,
+                use_pallas=cfg.use_pallas_attention,
                 name=f"encoderlayer_{i}")(y, deterministic)
             outs.append(y)
             offset += cfg.depths[i]
@@ -84,6 +85,7 @@ class UformerEncoder(nn.Module):
             drop_path=(0.1,) * cfg.depths[4],
             token_projection=cfg.token_projection, token_mlp=cfg.token_mlp,
             shift_flag=cfg.shift_flag, use_remat=self.use_remat, dtype=dt,
+            use_pallas=cfg.use_pallas_attention,
             name="conv")(y, deterministic)
         outs.append(y)
         return tuple(outs)  # conv0..conv4
@@ -128,6 +130,7 @@ class UformerDecoder(nn.Module):
                 token_mlp=cfg.token_mlp, shift_flag=cfg.shift_flag,
                 modulator=cfg.modulator, use_remat=self.use_remat,
                 dtype=_cdtype(cfg),
+                use_pallas=cfg.use_pallas_attention,
                 name=f"decoderlayer_{i}")(y, deterministic)
             offset += depth
             in_mult = dim // e

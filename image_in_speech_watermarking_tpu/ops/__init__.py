@@ -1,0 +1,4 @@
+from image_in_speech_watermarking_tpu.ops.window_attention import (  # noqa: F401
+    fused_window_attention, pallas_window_attention,
+    reference_window_attention,
+)

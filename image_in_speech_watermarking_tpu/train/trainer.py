@@ -195,10 +195,13 @@ class Trainer:
     def fit(self, dataset, wm_stream, epochs: Optional[int] = None,
             result_dir: Optional[str] = None,
             log_every: int = 10,
-            callback: Optional[Callable] = None):
+            callback: Optional[Callable] = None,
+            early_stop_patience: Optional[int] = None):
         """Epoch loop with best-loss checkpointing
-        (audio_uformer_stft.py:418-553) and jsonl metrics
-        (replacing exp_loss.txt)."""
+        (audio_uformer_stft.py:418-553) and jsonl metrics (replacing
+        exp_loss.txt). ``early_stop_patience`` mirrors the ModelA
+        trainer's stop after N non-improving epochs
+        (train_modelA.py:511-514; patience 5 in the reference)."""
         from image_in_speech_watermarking_tpu.train import checkpoint as ckpt
 
         cfg = self.cfg
@@ -235,10 +238,15 @@ class Trainer:
                 log_f.flush()
             if callback:
                 callback(epoch, state, epoch_loss)
-            if result_dir and (best is None or epoch_loss < best):
+            if best is None or epoch_loss < best:
                 best = epoch_loss
-                ckpt.save(os.path.join(result_dir, "model"), state,
-                          epoch=epoch)
+                best_epoch = epoch
+                if result_dir:
+                    ckpt.save(os.path.join(result_dir, "model"), state,
+                              epoch=epoch)
+            elif early_stop_patience is not None \
+                    and epoch - best_epoch >= early_stop_patience:
+                break  # early stop (train_modelA.py:511-514)
         if log_f:
             log_f.close()
         return state
