@@ -16,3 +16,6 @@ from image_in_speech_watermarking_tpu.models.variants import (  # noqa: F401
 from image_in_speech_watermarking_tpu.models.extras import (  # noqa: F401
     LPU, SAM, PosCNN,
 )
+from image_in_speech_watermarking_tpu.models.wm_network import (  # noqa: F401
+    WMNetCNN, WMNetCNNAudio, WMNetCNNTF, spectral_loss,
+)

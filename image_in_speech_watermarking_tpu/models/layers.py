@@ -277,6 +277,41 @@ class WindowAttention(nn.Module):
         return y @ wproj.astype(y.dtype) + bproj.astype(y.dtype)
 
 
+class Attention(nn.Module):
+    """Plain multi-head attention used by the cross-modulator path
+    (model.py:578-647): q from tokens, k/v from ``attn_kv`` when given."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 attn_kv: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b_, n, c = x.shape
+        h = self.num_heads
+        d = c // h
+        scale = d ** -0.5
+        kv_src = x if attn_kv is None else jnp.broadcast_to(
+            attn_kv[None], (b_,) + attn_kv.shape)
+        m = kv_src.shape[1]
+        q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=trunc_init,
+                     dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(2 * c, use_bias=self.qkv_bias, kernel_init=trunc_init,
+                      dtype=self.dtype, name="to_kv")(kv_src)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(b_, n, h, d).transpose(0, 2, 1, 3) * scale
+        k = k.reshape(b_, m, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b_, m, h, d).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(v.dtype)
+        y = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        y = y.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
+                        name="proj")(y)
+
+
 class DropPath(nn.Module):
     """Stochastic depth per sample (timm DropPath used at model.py:1032)."""
 
@@ -310,6 +345,7 @@ class LeWinTransformerBlock(nn.Module):
     token_projection: str = "linear"
     token_mlp: str = "leff"
     modulator: bool = False
+    cross_modulator: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
@@ -321,6 +357,18 @@ class LeWinTransformerBlock(nn.Module):
             win, shift = min(h, w), 0
         b, l, c = x.shape
         assert l == h * w
+
+        if self.cross_modulator:
+            # cross-attend tokens to a learned win^2 x dim embedding
+            # (model.py:1011-1015; NOTE the reference feeds the UNNORMED
+            # x to cross_attn — kept for exactness)
+            cross_emb = self.param("cross_modulator", trunc_init,
+                                   (win * win, self.dim))
+            x_cross = nn.LayerNorm(dtype=jnp.float32, name="norm_cross")(x)
+            del x_cross  # computed but unused upstream (model.py:1013)
+            x = x + Attention(dim=self.dim, num_heads=self.num_heads,
+                              qkv_bias=self.qkv_bias, dtype=self.dtype,
+                              name="cross_attn")(x, attn_kv=cross_emb)
 
         shortcut = x
         # LayerNorm in f32 (dtype=f32 upcasts internally), output in the

@@ -23,6 +23,9 @@ def get_arch(arch: str, train_ps: int = 128, embed_dim: int = 32,
         return uformer.UformerAudio(cfg, **kw)
     if arch == "ModelA":
         return baselines.ModelA()
+    if arch in ("WMNetCNN", "WMNetCNNTF", "WMNetCNNAudio"):
+        from image_in_speech_watermarking_tpu.models import wm_network
+        return getattr(wm_network, arch)()
     if arch == "UNet":
         return baselines.UNet(dim=embed_dim)
     if arch == "Uformer":  # model_utils.py:62-64 (depths all 2)
