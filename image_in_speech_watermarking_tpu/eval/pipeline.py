@@ -35,6 +35,13 @@ from image_in_speech_watermarking_tpu.dsp.stft import (istft_ri,
 from image_in_speech_watermarking_tpu.eval import metrics as M
 
 
+# attacks dominated by sequential scans (IIR filtfilt) or large argsorts
+# — better placed on the host CPU backend during eval
+_SEQUENTIAL_ATTACKS = frozenset(
+    {"low_pass", "low_pass_filter", "jittering", "resampling",
+     "time_scaling", "pitch_scaling"})
+
+
 @dataclasses.dataclass
 class UtteranceResult:
     recon_audio: np.ndarray
@@ -110,6 +117,13 @@ def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
             and host_attacks.have_ffmpeg():
         att_audio = jnp.asarray(
             host_attacks.HOST_ATTACKS[name](np.asarray(recon)))
+    elif name in _SEQUENTIAL_ATTACKS and jax.default_backend() != "cpu":
+        # long lax.scan / giant-argsort attacks run much faster on the
+        # host CPU backend than on the (remote) accelerator
+        with jax.default_device(jax.devices("cpu")[0]):
+            att_audio = wf.get_attack(attack)(
+                attack_key, jnp.asarray(np.asarray(recon)))
+        att_audio = jnp.asarray(np.asarray(att_audio))
     else:
         att_audio = wf.get_attack(attack)(attack_key, recon)
 
