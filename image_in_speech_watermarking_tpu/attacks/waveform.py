@@ -65,9 +65,10 @@ def amplitude_scaling(key, wav: jnp.ndarray, factor: float = 0.8) -> jnp.ndarray
 
 def echo_addition(key, wav: jnp.ndarray, fs: int = SAMPLE_RATE,
                   td: float = 0.5, aa: float = 0.2) -> jnp.ndarray:
-    """wav + A * wav delayed by td seconds (audio_attack.py:33-53)."""
+    """wav + A * wav delayed by td seconds (audio_attack.py:33-53).
+    Delay clamps to the signal length so short clips degrade gracefully."""
     del key
-    d = int(td * fs)
+    d = min(int(td * fs), wav.shape[-1])
     echo = jnp.pad(wav[..., : wav.shape[-1] - d],
                    [(0, 0)] * (wav.ndim - 1) + [(d, 0)])
     return wav + aa * echo

@@ -274,14 +274,14 @@ class UformerAudio(nn.Module):
         conv4 = convs[-1]                                    # (B,64,512)
 
         # max_pool (16,8) over the token map -> (B,4,64) -> (B,8,8,4)
-        # (model.py:2250,2398-2400); window generalized to (L4/4, C16/64)
+        # (model.py:2250,2398-2400); window generalized to (L4/4, C16/64).
+        # Written as reshape+max rather than reduce_window: the rank-3
+        # SelectAndScatter backward (1 inactive dim) is unimplemented on
+        # TPU, while reduce-max grads lower fine.
         b = conv4.shape[0]
         l4, c16 = self._bottleneck_dims()
-        pooled = jax.lax.reduce_window(
-            conv4, -jnp.inf, jax.lax.max,
-            window_dimensions=(1, l4 // 4, c16 // 64),
-            window_strides=(1, l4 // 4, c16 // 64),
-            padding="VALID")
+        pooled = conv4.reshape(b, 4, l4 // 4, 64, c16 // 64).max(
+            axis=(2, 4))
         conv4_down = pooled.reshape(b, 4, 8, 8).transpose(0, 2, 3, 1)
         wm_pred = self.encoder_wm.decode(feature_wm + conv4_down)
 

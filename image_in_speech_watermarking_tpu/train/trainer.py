@@ -93,7 +93,17 @@ class Trainer:
     (UformerAudio and ModelA)."""
 
     def __init__(self, model, cfg: TrainConfig, steps_per_epoch: int = 100,
-                 mesh=None, loss_weights: LossWeights = LossWeights()):
+                 mesh=None, loss_weights: LossWeights = LossWeights(),
+                 robust_attacks: tuple = (),
+                 robust_weight: float = 1.0):
+        """``robust_attacks``: optional in-graph attack-conditioned
+        training (a TPU-native upgrade over the reference, which attacks
+        only at eval time, SURVEY §2.5): per step one random attack from
+        the bank is applied to the reconstructed watermarked waveform and
+        the extractor must still decode it; every attack in
+        attacks/waveform.py is differentiable and shape-static, so this
+        rides the same jit program. Example: ("closed_loop", "awgn-15",
+        "amplitude_scaling-0.8", "requantization", "aac")."""
         self.model = model
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -101,7 +111,32 @@ class Trainer:
         self.tx, self.schedule = make_optimizer(cfg, steps_per_epoch)
         self.loss_weights = loss_weights
         self.is_model_a = type(model).__name__ == "ModelA"
+        self.robust_attacks = tuple(robust_attacks)
+        self.robust_weight = robust_weight
         self._step_fn = None
+
+    def _robust_decode_loss(self, variables, batch, noise, message, rng):
+        """Random-attack the watermarked waveform in-graph and penalize
+        extraction error (lax.switch over the differentiable bank)."""
+        from image_in_speech_watermarking_tpu.attacks.waveform import (
+            get_attack)
+        from image_in_speech_watermarking_tpu.dsp.stft import (istft_ri,
+                                                               stft_ri)
+
+        mcfg = self.model.cfg
+        y = batch + noise
+        wave = istft_ri(y, n_fft=mcfg.n_fft, hop_length=mcfg.hop_length)
+        kpick, kapply = jax.random.split(rng)
+        idx = jax.random.randint(kpick, (), 0, len(self.robust_attacks))
+        branches = [
+            (lambda fn: lambda w: fn(kapply, w))(get_attack(spec))
+            for spec in self.robust_attacks]
+        wave_att = jax.lax.switch(idx, branches, wave)
+        spec_att = stft_ri(wave_att, n_fft=mcfg.n_fft,
+                           hop_length=mcfg.hop_length)
+        wm_att = self.model.apply(variables, spec_att,
+                                  method=self.model.wm_decode)
+        return jnp.mean((wm_att - message) ** 2)
 
     # -------------------- init --------------------
 
@@ -159,13 +194,21 @@ class Trainer:
         else:
             loss, metrics = uformer_loss(out, batch, message,
                                          self.loss_weights)
+        if self.robust_attacks and not self.is_model_a:
+            rl = self._robust_decode_loss(
+                {"params": params}, batch, out[1], message,
+                rngs["attack"])
+            loss = loss + self.robust_weight * rl
+            metrics = {**metrics, "loss": loss, "wm_attacked": rl}
         return loss, (metrics, new_stats)
 
     def _build_step(self):
         tx = self.tx
 
         def step(state: TrainState, batch, message, rng):
-            rngs = {"droppath": jax.random.fold_in(rng, state.step)}
+            folded = jax.random.fold_in(rng, state.step)
+            k1, k2 = jax.random.split(folded)
+            rngs = {"droppath": k1, "attack": k2}
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (loss, (metrics, new_stats)), grads = grad_fn(
                 state.params, state.batch_stats, batch, message, rngs)

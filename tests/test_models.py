@@ -16,10 +16,12 @@ B = 2
 
 
 def small_cfg(**kw):
-    """Tiny UformerAudio for fast CPU tests (depths all 1, embed 8)."""
-    base = dict(img_size=128, embed_dim=8,
+    """Tiny UformerAudio for fast CPU tests (depths all 1, embed 8,
+    img 64 with the matching 127-point channel-sim STFT)."""
+    base = dict(img_size=64, embed_dim=8,
                 depths=(1, 1, 1, 1, 1, 1, 1, 1, 1),
-                num_heads=(1, 2, 4, 8, 8, 8, 8, 4, 2), modulator=True)
+                num_heads=(1, 2, 4, 8, 8, 8, 8, 4, 2), modulator=True,
+                n_fft=127, hop_length=31)
     base.update(kw)
     return UformerConfig(**base)
 
@@ -27,7 +29,7 @@ def small_cfg(**kw):
 @pytest.fixture(scope="module")
 def uformer_audio():
     model = models.UformerAudio(small_cfg())
-    x = jnp.zeros((B, 128, 128, 2))
+    x = jnp.zeros((B, 64, 64, 2))
     msg = jnp.zeros((B, 32, 32, 1))
     params = model.init(jax.random.key(0), x, msg)
     return model, params
@@ -37,11 +39,11 @@ def test_uformer_audio_forward_arity(uformer_audio):
     """model(stft, msg) -> 4-tuple (audio, noise, wm_pred, wm)
     (model.py:2511)."""
     model, params = uformer_audio
-    x = jax.random.normal(jax.random.key(1), (B, 128, 128, 2)) * 0.1
+    x = jax.random.normal(jax.random.key(1), (B, 64, 64, 2)) * 0.1
     msg = jax.random.uniform(jax.random.key(2), (B, 32, 32, 1))
     audio, noise, wm_pred, wm = model.apply(params, x, msg)
-    assert audio.shape == (B, 128, 128, 2)
-    assert noise.shape == (B, 128, 128, 2)
+    assert audio.shape == (B, 64, 64, 2)
+    assert noise.shape == (B, 64, 64, 2)
     assert wm_pred.shape == (B, 32, 32, 1)
     assert wm.shape == (B, 32, 32, 1)
     for t in (audio, noise, wm_pred, wm):
@@ -54,7 +56,7 @@ def test_uformer_audio_wm_decode_method(uformer_audio):
     """model.wm_decode(clip) used by the attack-eval path
     (uformerWM/audio_test.py:707)."""
     model, params = uformer_audio
-    y = jax.random.normal(jax.random.key(3), (B, 128, 128, 2)) * 0.1
+    y = jax.random.normal(jax.random.key(3), (B, 64, 64, 2)) * 0.1
     wm = model.apply(params, y, method=model.wm_decode)
     assert wm.shape == (B, 32, 32, 1)
 
@@ -63,7 +65,7 @@ def test_uformer_audio_grads(uformer_audio):
     """All four loss terms produce finite grads through the full graph,
     including the istft->stft channel sim."""
     model, params = uformer_audio
-    x = jax.random.normal(jax.random.key(4), (B, 128, 128, 2)) * 0.1
+    x = jax.random.normal(jax.random.key(4), (B, 64, 64, 2)) * 0.1
     msg = jax.random.uniform(jax.random.key(5), (B, 32, 32, 1))
 
     def loss_fn(p):

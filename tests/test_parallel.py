@@ -35,7 +35,6 @@ def test_devices_available():
 
 
 @pytest.mark.parametrize("mesh_shape,axes", [
-    ((8,), ("data",)),
     ((2, 2), ("data", "model")),
 ])
 def test_sharded_train_step(mesh_shape, axes):

@@ -71,14 +71,14 @@ def test_model_a_overfits_tiny_batch():
 def test_uformer_audio_one_step_updates():
     """One jitted train step on a small UformerAudio: params move, loss
     finite, all 4 metric terms present."""
-    cfg_model = UformerConfig(img_size=128, embed_dim=8,
+    cfg_model = UformerConfig(img_size=64, embed_dim=8,
                               depths=(1, 1, 1, 1, 1, 1, 1, 1, 1),
                               num_heads=(1, 2, 4, 8, 8, 8, 8, 4, 2),
-                              modulator=True)
+                              modulator=True, n_fft=127, hop_length=31)
     model = models.UformerAudio(cfg_model)
     cfg = TrainConfig(batch_size=2, nepoch=2)
     trainer = Trainer(model, cfg, steps_per_epoch=1)
-    batch = jax.random.normal(jax.random.key(0), (2, 128, 128, 2)) * 0.1
+    batch = jax.random.normal(jax.random.key(0), (2, 64, 64, 2)) * 0.1
     msg = jnp.asarray(data.digit_watermarks(2))
     state = trainer.init_state(batch, msg)
     p0 = jax.tree.map(np.asarray, state.params)

@@ -11,14 +11,15 @@ from image_in_speech_watermarking_tpu.models.variants import (
 from image_in_speech_watermarking_tpu.train.losses import (charbonnier_loss,
                                                            tv_loss)
 
-CFG = UformerConfig(img_size=128, embed_dim=8,
+CFG = UformerConfig(img_size=64, embed_dim=8,
                     depths=(1, 1, 1, 1, 1, 1, 1, 1, 1),
-                    num_heads=(1, 2, 4, 8, 8, 8, 8, 4, 2))
+                    num_heads=(1, 2, 4, 8, 8, 8, 8, 4, 2),
+                    n_fft=127, hop_length=31)
 B = 1
 
 
 def _inputs():
-    x = jax.random.normal(jax.random.key(0), (B, 128, 128, 2)) * 0.1
+    x = jax.random.normal(jax.random.key(0), (B, 64, 64, 2)) * 0.1
     msg = jax.random.uniform(jax.random.key(1), (B, 32, 32, 1))
     return x, msg
 
