@@ -162,9 +162,12 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out = self.out_dim or x.shape[-1]
+        # exact erf-GELU in f32 (reference parity); tanh-GELU under bf16
+        # (erfc lowers to a long f32 polynomial that dominates VPU time)
+        approx = self.dtype == jnp.bfloat16
         y = nn.Dense(self.hidden_dim, kernel_init=trunc_init,
                      dtype=self.dtype, name="fc1")(x)
-        y = nn.gelu(y, approximate=False)
+        y = nn.gelu(y, approximate=approx)
         return nn.Dense(out, kernel_init=trunc_init, dtype=self.dtype,
                         name="fc2")(y)
 
@@ -179,14 +182,15 @@ class LeFF(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
         b, l, c = x.shape
+        approx = self.dtype == jnp.bfloat16   # see Mlp note
         y = nn.Dense(self.hidden_dim, kernel_init=trunc_init,
                      dtype=self.dtype, name="linear1")(x)
-        y = nn.gelu(y, approximate=False)
+        y = nn.gelu(y, approximate=approx)
         y = y.reshape(b, h, w, self.hidden_dim)
         y = nn.Conv(self.hidden_dim, (3, 3), padding=1,
                     feature_group_count=self.hidden_dim, dtype=self.dtype,
                     name="dwconv")(y)
-        y = nn.gelu(y, approximate=False)
+        y = nn.gelu(y, approximate=approx)
         y = y.reshape(b, l, self.hidden_dim)
         return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
                         name="linear2")(y)
