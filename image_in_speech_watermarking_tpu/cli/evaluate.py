@@ -39,6 +39,10 @@ def main(argv=None):
     p.add_argument("--use_host_codecs", action="store_true",
                    help="real ffmpeg aac/mp3 instead of the codec sim")
     p.add_argument("--embed_dim", type=int, default=32)
+    p.add_argument("--audio_scale", default="0",
+                   help="feature normalization used at train time "
+                        "('0.025' or 'lo-hi'; min/max taken from the "
+                        "train split like evaluate.py:322-334)")
     args = p.parse_args(argv)
 
     model = models.get_arch(args.arch, embed_dim=args.embed_dim)
@@ -51,6 +55,17 @@ def main(argv=None):
     for split in ("train", "test"):
         waves = data.load_corpus(args.dataset, args.size, split=split)
         datasets[split] = data.SpeechDataset(waves, kind="eval")
+
+    # train-split feature min/max for min-max audio_scale modes
+    # (evaluate.py:322-334 builds SpeechDataTrain just for these)
+    data_min, data_max = 0.0, 1.0
+    if "-" in args.audio_scale:
+        train_waves = data.load_corpus(args.dataset, args.size,
+                                       split="train")
+        ds_train = data.SpeechDataset(train_waves, kind="train",
+                                      audio_scale=args.audio_scale)
+        data_min = float(ds_train.data_min)
+        data_max = float(ds_train.data_max)
 
     if args.checkpoint:
         restored = checkpoint.restore(args.checkpoint)
@@ -67,7 +82,9 @@ def main(argv=None):
         model, variables, datasets, msgs,
         attacks=tuple(a for a in args.attacks.split(",") if a),
         model_name=model_name, result_path=args.result_dir,
-        use_host_codecs=args.use_host_codecs)
+        use_host_codecs=args.use_host_codecs,
+        audio_scale=args.audio_scale, data_min=data_min,
+        data_max=data_max)
     for r in results:
         print("Result on {set} set, attack: {attack}: Total clips: "
               "{clips}, MSE loss {mse:.6f}, WM loss: {wm:.6f}, WM loss "

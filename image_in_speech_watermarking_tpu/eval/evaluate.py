@@ -34,7 +34,9 @@ def evaluate_split(model, variables, dataset, messages,
                    attack: str = "closed_loop", data_cat: str = "train",
                    model_name: str = "uformer",
                    result_path: Optional[str] = None,
-                   use_host_codecs: bool = False, seed: int = 0) -> dict:
+                   use_host_codecs: bool = False, seed: int = 0,
+                   audio_scale: str = "0", data_min: float = 0.0,
+                   data_max: float = 1.0) -> dict:
     """Evaluate one attack over every utterance of a split
     (evaluate.py:174-293, minus the png/wav artifact dumps)."""
     mses, wms, wms_att, snrs, pesqs, clips_n = [], [], [], [], [], []
@@ -45,7 +47,8 @@ def evaluate_split(model, variables, dataset, messages,
             wave, clips, tail, msg, model, variables, attack=attack,
             model_name=model_name,
             attack_key=jax.random.key(seed + i),
-            use_host_codecs=use_host_codecs)
+            use_host_codecs=use_host_codecs, audio_scale=audio_scale,
+            data_min=data_min, data_max=data_max)
         mses.append(r.audio_mse)
         wms.append(r.wm_mse)
         wms_att.append(r.wm_mse_att)
@@ -74,7 +77,9 @@ def evaluate_model(model, variables, datasets: dict, messages,
                    attacks: Sequence[str] = DEFAULT_ATTACKS,
                    model_name: str = "uformer",
                    result_path: Optional[str] = None,
-                   use_host_codecs: bool = False) -> list[dict]:
+                   use_host_codecs: bool = False,
+                   audio_scale: str = "0", data_min: float = 0.0,
+                   data_max: float = 1.0) -> list[dict]:
     """attack x {train, test} sweep (evaluate.py:369-380) + results.csv."""
     results = []
     for attack in attacks:
@@ -82,7 +87,9 @@ def evaluate_model(model, variables, datasets: dict, messages,
             results.append(evaluate_split(
                 model, variables, ds, messages, attack=attack,
                 data_cat=data_cat, model_name=model_name,
-                result_path=result_path, use_host_codecs=use_host_codecs))
+                result_path=result_path, use_host_codecs=use_host_codecs,
+                audio_scale=audio_scale, data_min=data_min,
+                data_max=data_max))
     if result_path:
         with open(os.path.join(result_path, "sample_result.txt")) as f:
             process_data_to_csv(f.read(),

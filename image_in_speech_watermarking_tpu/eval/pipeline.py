@@ -69,11 +69,39 @@ def _model_embed_fwd(model, variables, clips, message, model_name):
     return audio, wm
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _scale_clips(clips, audio_scale: str, data_min, data_max):
+    """Normalize raw STFT clips the way training features were normalized
+    (audio_test.py:326-341,692-706): scalar factor or min-max remap."""
+    if audio_scale in (None, "0", "", "False"):
+        return clips
+    if "-" not in audio_scale:
+        return clips * float(audio_scale)
+    lo, hi = (float(v) for v in audio_scale.split("-"))
+    unit = (clips - data_min) / (data_max - data_min)
+    return unit * (hi - lo) + lo
+
+
+def _unscale_clips(clips, audio_scale: str, data_min, data_max):
+    """Invert _scale_clips on model outputs back to the raw STFT range
+    before ISTFT (audio_test.py:558-571)."""
+    if audio_scale in (None, "0", "", "False"):
+        return clips
+    if "-" not in audio_scale:
+        return clips / float(audio_scale)
+    lo, hi = (float(v) for v in audio_scale.split("-"))
+    unit = (clips - lo) / (hi - lo)
+    return unit * (data_max - data_min) + data_min
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def _embed_jit(model, variables, clips, message, model_name, length,
-               valid_last: int = CLIP_FRAMES):
-    audio_clips, wm = _model_embed_fwd(model, variables, clips, message,
+               valid_last: int = CLIP_FRAMES, audio_scale: str = "0",
+               data_min=0.0, data_max=1.0):
+    scaled = _scale_clips(clips, audio_scale, data_min, data_max)
+    audio_clips, wm = _model_embed_fwd(model, variables, scaled, message,
                                        model_name)
+    audio_clips = _unscale_clips(audio_clips, audio_scale, data_min,
+                                 data_max)
     # trim last clip to its valid frames, concat on time, single ISTFT
     # (audio_test.py:589-600)
     n, bins, f, _ = audio_clips.shape
@@ -83,12 +111,14 @@ def _embed_jit(model, variables, clips, message, model_name, length,
     return recon, wm
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _extract_jit(model, variables, att_audio, model_name):
-    """re-STFT -> pad -> chunk -> wm_decode per chunk
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _extract_jit(model, variables, att_audio, model_name,
+                 audio_scale: str = "0", data_min=0.0, data_max=1.0):
+    """re-STFT -> pad -> chunk -> rescale -> wm_decode per chunk
     (audio_test.py:676-712)."""
     spec = stft_ri(att_audio, n_fft=EVAL_N_FFT)
     clips, _ = spec_to_clips(spec, CLIP_FRAMES)
+    clips = _scale_clips(clips, audio_scale, data_min, data_max)
     if model_name == "modelA":
         return model.apply(variables, clips, method="decode")
     return model.apply(variables, clips, method="wm_decode")
@@ -98,16 +128,24 @@ def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
                       model, variables, attack: str = "closed_loop",
                       model_name: str = "uformer",
                       attack_key=None,
-                      use_host_codecs: bool = False) -> UtteranceResult:
+                      use_host_codecs: bool = False,
+                      audio_scale: str = "0",
+                      data_min: float = 0.0,
+                      data_max: float = 1.0) -> UtteranceResult:
     """Full-utterance embed -> attack -> extract with the reference's
-    metric set (audio_test.py:528-828)."""
+    metric set (audio_test.py:528-828). ``audio_scale``/``data_min``/
+    ``data_max`` mirror the reference's feature-normalization plumbing
+    (clips scaled before the model, outputs unscaled before ISTFT,
+    attacked clips rescaled before extraction)."""
     wave_j = jnp.asarray(wave).reshape(-1)
     clips_j = jnp.asarray(clips)
     msg_j = jnp.asarray(message)
     length = int(wave_j.shape[-1])
 
     recon, wm_decoded = _embed_jit(model, variables, clips_j, msg_j,
-                                   model_name, length, int(valid_last))
+                                   model_name, length, int(valid_last),
+                                   audio_scale, float(data_min),
+                                   float(data_max))
 
     # ---- attack (device-jax by default; host ffmpeg for codec parity)
     name = attack.split("-")[0]
@@ -127,7 +165,9 @@ def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
     else:
         att_audio = wf.get_attack(attack)(attack_key, recon)
 
-    wm_decoded_att = _extract_jit(model, variables, att_audio, model_name)
+    wm_decoded_att = _extract_jit(model, variables, att_audio, model_name,
+                                  audio_scale, float(data_min),
+                                  float(data_max))
 
     audio_mse = M.mse(wave_j, recon)
     wm_mse = M.mse(wm_decoded, jnp.broadcast_to(
