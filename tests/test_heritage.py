@@ -76,3 +76,14 @@ def test_extras_shapes():
     p = sam.init(jax.random.key(5), feat, img)
     y, side = sam.apply(p, feat, img)
     assert y.shape == feat.shape and side.shape == img.shape
+
+
+def test_blur_downsample():
+    from image_in_speech_watermarking_tpu.utils.antialias import (
+        blur_downsample)
+
+    x = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3))
+    y = blur_downsample(x)
+    assert y.shape == (2, 8, 8, 3)
+    c = jnp.ones((1, 8, 8, 2)) * 0.7
+    assert float(jnp.abs(blur_downsample(c) - 0.7).max()) < 1e-6
