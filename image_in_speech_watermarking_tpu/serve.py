@@ -42,7 +42,9 @@ class Watermarker:
                  audio_scale: str = "0", data_min: float = 0.0,
                  data_max: float = 1.0):
         self.model = model
-        self.variables = variables
+        # pin weights on device once — host-resident (e.g. orbax-restored
+        # numpy) params would otherwise re-upload every call
+        self.variables = jax.device_put(variables)
         self.model_name = model_name
         self.audio_scale = audio_scale
         self.data_min = float(data_min)
@@ -86,9 +88,15 @@ class Watermarker:
         return unit * (self.data_max - self.data_min) + self.data_min
 
     def _build(self):
+        """One jitted program per wave-length bucket: featurize (STFT +
+        chunk), model, overlap-add reconstruction all fused — eager
+        per-op dispatch is pathological through a remote-accelerator
+        tunnel."""
         model, name = self.model, self.model_name
 
-        def embed_fn(variables, clips, message):
+        def embed_fn(variables, wave, message):
+            spec = stft_ri(wave, EVAL_N_FFT)
+            clips, _ = spec_to_clips(spec, CLIP_FRAMES)
             scaled = self._scale(clips)
             b = clips.shape[0]
             msg = jnp.broadcast_to(message, (b,) + message.shape[-3:])
@@ -98,9 +106,16 @@ class Watermarker:
                 # embed-only path: skips channel sim + extractor entirely
                 marked, _, _ = model.apply(variables, scaled, msg,
                                            method="embed")
-            return self._unscale(marked)
+            marked = self._unscale(marked)
+            n, bins, f, _ = marked.shape
+            out_spec = marked.transpose(1, 0, 2, 3).reshape(bins, n * f, 2)
+            out_spec = out_spec[:, : spec.shape[1]]
+            return istft_ri(out_spec, n_fft=EVAL_N_FFT,
+                            length=wave.shape[-1])
 
-        def extract_fn(variables, clips):
+        def extract_fn(variables, wave):
+            spec = stft_ri(wave, EVAL_N_FFT)
+            clips, _ = spec_to_clips(spec, CLIP_FRAMES)
             scaled = self._scale(clips)
             method = "decode" if name == "modelA" else "wm_decode"
             return model.apply(variables, scaled, method=method)
@@ -108,45 +123,32 @@ class Watermarker:
         self._embed_fn = jax.jit(embed_fn)
         self._extract_fn = jax.jit(extract_fn)
 
-    def _embed_clips(self, clips, message):
-        if self._embed_fn is None:
-            self._build()
-        return self._embed_fn(self.variables, clips, message)
-
-    def _extract_clips(self, clips):
-        if self._extract_fn is None:
-            self._build()
-        return self._extract_fn(self.variables, clips)
-
-    def _featurize(self, wave: np.ndarray):
-        wave_j = jnp.asarray(np.asarray(wave, np.float32).reshape(-1))
-        spec = stft_ri(wave_j, EVAL_N_FFT)
-        clips, valid = spec_to_clips(spec, CLIP_FRAMES)
-        n = clips.shape[0]
-        pad = _bucket(n) - n
-        if pad:
-            clips = jnp.concatenate(
-                [clips, jnp.zeros((pad,) + clips.shape[1:], clips.dtype)])
-        return wave_j, clips, n, valid
+    def _pad_wave(self, wave) -> tuple[jnp.ndarray, int]:
+        x = np.asarray(wave, np.float32).reshape(-1)
+        n = len(x)
+        padded = _bucket(max(n, 16000))
+        if padded != n:
+            x = np.pad(x, (0, padded - n))
+        return jnp.asarray(x), n
 
     # ---------------- public API ----------------
 
     def embed(self, wave, message) -> np.ndarray:
         """Watermark a waveform. message: (32, 32) or (1, 32, 32, 1) in
         [0, 1]. Returns a float32 waveform of the same length."""
-        wave_j, clips, n, valid = self._featurize(wave)
+        if self._embed_fn is None:
+            self._build()
+        wave_j, n = self._pad_wave(wave)
         msg = jnp.asarray(np.asarray(message, np.float32).reshape(
             1, 32, 32, 1))
-        marked = self._embed_clips(clips, msg)[:n]
-        bins, f = marked.shape[1], marked.shape[2]
-        spec = marked.transpose(1, 0, 2, 3).reshape(bins, n * f, 2)
-        spec = spec[:, : (n - 1) * f + valid]
-        out = istft_ri(spec, n_fft=EVAL_N_FFT, length=wave_j.shape[-1])
-        return np.asarray(out)
+        out = self._embed_fn(self.variables, wave_j, msg)
+        return np.asarray(out)[:n]
 
     def extract(self, wave, per_clip: bool = False) -> np.ndarray:
         """Recover the watermark image; averages clip-level decodes unless
         ``per_clip``."""
-        _, clips, n, _ = self._featurize(wave)
-        wm = np.asarray(self._extract_clips(clips)[:n, :, :, 0])
+        if self._extract_fn is None:
+            self._build()
+        wave_j, n = self._pad_wave(wave)
+        wm = np.asarray(self._extract_fn(self.variables, wave_j)[:, :, :, 0])
         return wm if per_clip else wm.mean(axis=0)

@@ -43,11 +43,11 @@ def test_extract_shapes(wmk):
 
 
 def test_bucket_bounds_recompiles(wmk):
-    """Different lengths in the same clip bucket reuse one jit entry."""
+    """Different lengths in the same wave bucket reuse one jit entry."""
     assert serve._bucket(3) == 4 and serve._bucket(4) == 4
     assert serve._bucket(5) == 8
     msg = data.digit_watermarks(1)[0, :, :, 0]
-    wmk.embed(data.synthetic_speech(16_000, seed=3), msg)
+    wmk.embed(data.synthetic_speech(20_000, seed=3), msg)
     sizes0 = wmk._embed_fn._cache_size()
-    wmk.embed(data.synthetic_speech(17_000, seed=4), msg)  # same bucket
+    wmk.embed(data.synthetic_speech(24_000, seed=4), msg)  # same bucket
     assert wmk._embed_fn._cache_size() == sizes0
