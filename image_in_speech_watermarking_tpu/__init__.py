@@ -16,3 +16,12 @@ have Pallas TPU kernels. Multi-chip scaling uses ``jax.sharding`` meshes.
 __version__ = "0.1.0"
 
 from image_in_speech_watermarking_tpu import config as config  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax-heavy modules at
+    # package import)
+    if name == "Watermarker":
+        from image_in_speech_watermarking_tpu.serve import Watermarker
+        return Watermarker
+    raise AttributeError(name)

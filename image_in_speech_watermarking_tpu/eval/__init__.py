@@ -8,3 +8,7 @@ from image_in_speech_watermarking_tpu.eval.pipeline import (  # noqa: F401
 from image_in_speech_watermarking_tpu.eval.result_extract import (  # noqa: F401
     process_data_to_csv,
 )
+from image_in_speech_watermarking_tpu.eval.hidden_pipeline import (  # noqa: F401
+    HiddenUtteranceResult, reconstruct_audio_hidden,
+)
+from image_in_speech_watermarking_tpu.eval import image_metrics  # noqa: F401
