@@ -12,14 +12,16 @@ from image_in_speech_watermarking_tpu.models import baselines, uformer
 
 def get_arch(arch: str, train_ps: int = 128, embed_dim: int = 32,
              win_size: int = 8, token_projection: str = "linear",
-             token_mlp: str = "leff", dd_in: int = 2, **kw):
+             token_mlp: str = "leff", dd_in: int = 2,
+             compute_dtype: str = "float32", **kw):
     """Build a model by reference arch name (model_utils.py:60-108)."""
     if arch == "Uformer_audio":
         cfg = UformerConfig(
             img_size=train_ps, embed_dim=embed_dim, win_size=win_size,
             token_projection=token_projection, token_mlp=token_mlp,
             dd_in=dd_in, in_chans=dd_in,
-            depths=(1, 2, 8, 8, 2, 8, 8, 2, 1), modulator=True)
+            depths=(1, 2, 8, 8, 2, 8, 8, 2, 1), modulator=True,
+            compute_dtype=compute_dtype)
         return uformer.UformerAudio(cfg, **kw)
     if arch == "ModelA":
         return baselines.ModelA()

@@ -54,6 +54,7 @@ class Watermarker:
 
     @classmethod
     def from_checkpoint(cls, path: str, arch: str = "Uformer_audio",
+                        compute_dtype: str = "float32",
                         **kw) -> "Watermarker":
         from image_in_speech_watermarking_tpu.train import checkpoint
 
@@ -61,7 +62,10 @@ class Watermarker:
         variables = {"params": restored["params"]}
         if restored.get("batch_stats") is not None:
             variables["batch_stats"] = restored["batch_stats"]
-        model = models.get_arch(arch)
+        if arch == "Uformer_audio":
+            model = models.get_arch(arch, compute_dtype=compute_dtype)
+        else:
+            model = models.get_arch(arch)
         name = "modelA" if arch == "ModelA" else "uformer"
         return cls(model, variables, model_name=name, **kw)
 
