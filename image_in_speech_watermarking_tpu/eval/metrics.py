@@ -49,8 +49,9 @@ def bitwise_error(decoded, message) -> float:
 
 
 def cal_pesq(audio_ori, audio_recon, sr: int = 16000) -> Optional[float]:
-    """PESQ via pypesq/pesq if installed (evaluate.py:152-156); None when
-    the optional dependency is absent."""
+    """PESQ (evaluate.py:152-156): pypesq/pesq when installed, else the
+    vendored numpy P.862 implementation (eval/pesq.py) — the column is
+    never NaN."""
     a = np.asarray(audio_ori).reshape(-1)
     b = np.asarray(audio_recon).reshape(-1)
     n = min(len(a), len(b))
@@ -65,4 +66,10 @@ def cal_pesq(audio_ori, audio_recon, sr: int = 16000) -> Optional[float]:
 
         return float(pesq(sr, a[:n], b[:n], "wb"))
     except Exception:
+        pass
+    from image_in_speech_watermarking_tpu.eval.pesq import pesq_numpy
+
+    try:
+        return pesq_numpy(a[:n], b[:n], sr)
+    except ValueError:  # too short
         return None
