@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default="-1",
                    help="mesh shape, e.g. '8' (dp) or '4,2' (dp,fsdp)")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for matmuls/convs (MXU); norms, "
+                        "softmax and the DFT stay f32")
+    p.add_argument("--robust_attacks", default="",
+                   help="comma list of in-graph training attacks, e.g. "
+                        "'closed_loop,awgn-15,amplitude_scaling-0.8'")
     return p
 
 
@@ -70,12 +77,13 @@ def main(argv=None) -> str:
         warmup_epochs=args.warmup_epochs, train_ps=args.train_ps,
         image_scale=args.image_scale, audio_scale=args.audio_scale,
         seed=args.seed, mesh_shape=shape, mesh_axes=axes,
-        remat=args.remat)
+        remat=args.remat, dtype=args.dtype)
 
     model = models.get_arch(
         args.arch, train_ps=args.train_ps, embed_dim=args.embed_dim,
         win_size=args.win_size, token_projection=args.token_projection,
         token_mlp=args.token_mlp, dd_in=args.dd_in,
+        compute_dtype=args.dtype,
         **({"use_remat": True} if args.remat
            and args.arch == "Uformer_audio" else {}))
 
@@ -96,7 +104,9 @@ def main(argv=None) -> str:
             datetime.datetime.now().strftime("%d%m%Y_%H%M%S")))
 
     mesh = make_mesh(shape, axes)
-    trainer = Trainer(model, cfg, steps_per_epoch=steps, mesh=mesh)
+    robust = tuple(s for s in args.robust_attacks.split(",") if s)
+    trainer = Trainer(model, cfg, steps_per_epoch=steps, mesh=mesh,
+                      robust_attacks=robust)
     trainer.fit(ds, wm, result_dir=result_dir)
     print(f"done; artifacts in {result_dir}")
     return result_dir

@@ -65,6 +65,17 @@ def normalize_batch(data: jnp.ndarray, audio_scale: str):
     return unit * (hi - lo) + lo, dmin, dmax
 
 
+def frequency_masking(spec: np.ndarray, freq_mask_size: int,
+                      rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """SpecAugment-style band erase (uformerWM/audio_test.py:26-31): zero a
+    random ``freq_mask_size``-bin band along the frequency (first) axis."""
+    rng = rng or np.random.default_rng()
+    start = int(rng.integers(0, spec.shape[0] - freq_mask_size))
+    out = np.array(spec)
+    out[start:start + freq_mask_size] = 0
+    return out
+
+
 def wave_to_train_clips(wav: jnp.ndarray) -> jnp.ndarray:
     """Training featurization (audio_test.py:465-502): STFT(256,128,256),
     drop the 129th bin, pad time to x128, chunk -> (n, 128, 128, 2)."""
@@ -97,25 +108,47 @@ def wave_to_audio_clips(wav: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
 class SpeechDataset:
     """Fixed-shape clip dataset over a list of utterances.
 
-    kind: 'train' (n_fft 256 features) | 'eval' (n_fft 255) | 'audio'
-    (time-domain). Mirrors SpeechDataTrain / SpeechDataTest /
-    SpeechDataAudio construction.
+    kind:
+      'train'     n_fft 256 features (SpeechDataTrain)
+      'train_aug' raw-wave store + random 128-frame STFT crops with an
+                  optional transform (SpeechDataTrainAug,
+                  uformerWM/audio_test.py:362-409; n_fft=255, no row drop)
+      'eval'      n_fft 255 [raw, clips, tail] (SpeechDataTest)
+      'eval129'   n_fft 256 keeping the dropped 129th bin row for exact
+                  ISTFT round trips (speechDataTest129,
+                  uformerWM/audio_test.py:167-258)
+      'audio'     time-domain 128^2 chunks (SpeechDataAudio)
+
+    ``transform``: optional callable applied per sampled clip in
+    'train_aug' mode, e.g. ``lambda c, rng: frequency_masking(c, 8, rng)``
+    (the reference passes torchaudio transforms, audio_test.py:394-397).
     """
 
     waves: List[np.ndarray]
     kind: str = "train"
     audio_scale: str = "0"
+    transform: Optional[callable] = None
 
     def __post_init__(self):
         feats = []
         self.tails: List[int] = []
-        fn = {"train": wave_to_train_clips}.get(self.kind)
+        self.last_rows: List[np.ndarray] = []
         for w in self.waves:
             wj = jnp.asarray(w)
             if self.kind == "train":
                 feats.append(np.asarray(wave_to_train_clips(wj)))
+            elif self.kind == "train_aug":
+                # full unchunked n_fft=255 spec; crops are sampled per
+                # batch (audio_test.py:400-406)
+                feats.append(np.asarray(stft_ri(wj, EVAL_N_FFT)))
             elif self.kind == "eval":
                 c, tail = wave_to_eval_clips(wj)
+                feats.append(np.asarray(c))
+                self.tails.append(int(tail))
+            elif self.kind == "eval129":
+                spec = stft_ri(wj, TRAIN_N_FFT, TRAIN_HOP, TRAIN_N_FFT)
+                self.last_rows.append(np.asarray(spec[-1]))  # (frames, 2)
+                c, tail = spec_to_clips(spec, CLIP_FRAMES, drop_last_bin=True)
                 feats.append(np.asarray(c))
                 self.tails.append(int(tail))
             elif self.kind == "audio":
@@ -129,17 +162,26 @@ class SpeechDataset:
             scaled, self.data_min, self.data_max = normalize_batch(
                 jnp.asarray(data), self.audio_scale)
             self.clips = np.asarray(scaled)
+        elif self.kind == "train_aug":
+            self.specs = feats
+            self.data_min, self.data_max = 0.0, 1.0
         else:
             self.per_utterance = feats
             self.data_min, self.data_max = 0.0, 1.0
 
     # train-mode API
     def __len__(self):
-        return len(self.clips) if self.kind == "train" \
-            else len(self.per_utterance)
+        if self.kind == "train":
+            return len(self.clips)
+        if self.kind == "train_aug":
+            return len(self.specs)
+        return len(self.per_utterance)
 
     def batches(self, batch_size: int, seed: int = 0,
                 drop_last: bool = True) -> Iterator[np.ndarray]:
+        if self.kind == "train_aug":
+            yield from self._aug_batches(batch_size, seed)
+            return
         assert self.kind == "train"
         rng = np.random.default_rng(seed)
         idx = rng.permutation(len(self.clips))
@@ -147,9 +189,37 @@ class SpeechDataset:
         for i in range(0, end, batch_size):
             yield self.clips[idx[i:i + batch_size]]
 
-    # eval-mode API: (raw_wave, clips, tail) triplets like SpeechDataTest
+    def _aug_batches(self, batch_size: int, seed: int = 0):
+        """Random-crop sampling (audio_test.py:400-406): one epoch =
+        len(specs) samples, each a random utterance-aligned 128-frame crop
+        with the optional transform applied."""
+        rng = np.random.default_rng(seed)
+        n = len(self.specs)
+        order = rng.permutation(n)
+        for i in range(0, (n // batch_size) * batch_size, batch_size):
+            out = []
+            for j in order[i:i + batch_size]:
+                spec = self.specs[j]
+                hi = spec.shape[1] - CLIP_FRAMES - 1
+                start = int(rng.integers(0, max(hi, 1)))
+                clip = spec[:, start:start + CLIP_FRAMES]
+                if clip.shape[1] < CLIP_FRAMES:  # short utterance: pad
+                    clip = np.pad(clip, ((0, 0),
+                                         (0, CLIP_FRAMES - clip.shape[1]),
+                                         (0, 0)))
+                if self.transform is not None:
+                    clip = self.transform(clip, rng)
+                out.append(clip)
+            yield np.stack(out)
+
+    # eval-mode API: (raw_wave, clips, tail) triplets like SpeechDataTest;
+    # 'eval129' adds the retained 129th-bin row (speechDataTest129 keeps
+    # [audio, clips, tail, stft_last_row], audio_test.py:250-252)
     def utterance(self, i: int):
-        assert self.kind in ("eval", "audio")
+        assert self.kind in ("eval", "eval129", "audio")
+        if self.kind == "eval129":
+            return (self.waves[i], self.per_utterance[i], self.tails[i],
+                    self.last_rows[i])
         return self.waves[i], self.per_utterance[i], self.tails[i]
 
 

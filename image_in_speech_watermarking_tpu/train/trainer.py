@@ -104,6 +104,16 @@ class Trainer:
         attacks/waveform.py is differentiable and shape-static, so this
         rides the same jit program. Example: ("closed_loop", "awgn-15",
         "amplitude_scaling-0.8", "requantization", "aac")."""
+        # Honor cfg.dtype: rebuild the model with the matching compute
+        # dtype (bf16 matmuls/convs on the MXU, f32 norms/softmax/DFT).
+        # The reference's AMP intent (audio_uformer_stft.py:372,538); no
+        # loss scaling needed on TPU.
+        if (cfg.dtype != "float32" and hasattr(model, "cfg")
+                and hasattr(model.cfg, "compute_dtype")
+                and model.cfg.compute_dtype != cfg.dtype):
+            model = dataclasses.replace(
+                model, cfg=dataclasses.replace(
+                    model.cfg, compute_dtype=cfg.dtype))
         self.model = model
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(

@@ -108,3 +108,84 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(orig) == len(back)
     for a, b in zip(orig, back):
         np.testing.assert_array_equal(a, b)
+
+
+def test_uformer_bf16_train_step():
+    """TrainConfig.dtype='bfloat16' flows into the model's compute dtype
+    (VERDICT r1 item 4: the reference's AMP intent,
+    audio_uformer_stft.py:372,538): the step runs, loss is finite and
+    within a loose tolerance of the f32 step, and params stay f32."""
+    cfg_model = UformerConfig(img_size=64, embed_dim=8,
+                              depths=(1, 1, 1, 1, 1, 1, 1, 1, 1),
+                              num_heads=(1, 2, 4, 8, 8, 8, 8, 4, 2),
+                              modulator=True, n_fft=127, hop_length=31)
+    batch = jax.random.normal(jax.random.key(0), (2, 64, 64, 2)) * 0.1
+    msg = jnp.asarray(data.digit_watermarks(2))
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = TrainConfig(batch_size=2, nepoch=2, dtype=dtype)
+        trainer = Trainer(models.UformerAudio(cfg_model), cfg,
+                          steps_per_epoch=1)
+        assert trainer.model.cfg.compute_dtype == dtype
+        state = trainer.init_state(batch, msg)
+        assert all(leaf.dtype == jnp.float32
+                   for leaf in jax.tree.leaves(state.params))
+        state, metrics = trainer.train_step(state, batch, msg,
+                                            jax.random.key(1))
+        losses[dtype] = float(metrics["loss"])
+        assert np.isfinite(losses[dtype])
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.05 * (
+        1 + abs(losses["float32"]))
+
+
+def test_train_aug_dataset():
+    """SpeechDataTrainAug parity (audio_test.py:362-409): random
+    128-frame STFT crops, optional transform, fixed shapes."""
+    waves = data.load_corpus("synthetic", 3, utt_seconds=3.0)
+    ds = data.SpeechDataset(waves, kind="train_aug")
+    b = next(ds.batches(2, seed=0))
+    assert b.shape == (2, 128, 128, 2)
+    # crops are random: two epochs differ
+    b2 = next(ds.batches(2, seed=1))
+    assert np.abs(b - b2).max() > 0
+    # with frequency masking transform a band is zeroed
+    ds_m = data.SpeechDataset(
+        waves, kind="train_aug",
+        transform=lambda c, rng: data.frequency_masking(c, 16, rng))
+    bm = next(ds_m.batches(2, seed=0))
+    rows_zero = (np.abs(bm[0]).sum(axis=(1, 2)) == 0)
+    assert rows_zero.sum() >= 16
+
+
+def test_frequency_masking_shape_and_band():
+    spec = np.ones((128, 64, 2), np.float32)
+    out = data.frequency_masking(spec, 8, np.random.default_rng(0))
+    assert out.shape == spec.shape
+    zero_rows = np.where(out.sum(axis=(1, 2)) == 0)[0]
+    assert len(zero_rows) == 8
+    assert np.all(np.diff(zero_rows) == 1)  # contiguous band
+    assert spec.sum() == 128 * 64 * 2      # input untouched
+
+
+def test_eval129_exact_istft_roundtrip():
+    """speechDataTest129 (audio_test.py:167-258): the retained 129th-bin
+    row makes the clip->spec->ISTFT round trip exact (unlike 'eval'/'train'
+    which drop it)."""
+    from image_in_speech_watermarking_tpu.dsp.stft import istft_ri
+    from image_in_speech_watermarking_tpu.config import (TRAIN_HOP,
+                                                         TRAIN_N_FFT)
+
+    waves = data.load_corpus("synthetic", 1, utt_seconds=2.0)
+    ds = data.SpeechDataset(waves, kind="eval129")
+    raw, clips, tail, last_row = ds.utterance(0)
+    assert clips.shape[1:] == (128, 128, 2)
+    assert last_row.shape[1] == 2
+    # reassemble the full 129-bin spec and invert
+    from image_in_speech_watermarking_tpu.dsp.stft import clips_to_spec
+    spec128 = clips_to_spec(jnp.asarray(clips), tail)
+    spec129 = jnp.concatenate(
+        [spec128, jnp.asarray(last_row)[None, : spec128.shape[1]]], axis=0)
+    recon = istft_ri(spec129, TRAIN_N_FFT, TRAIN_HOP,
+                     length=len(raw))
+    err = np.abs(np.asarray(recon) - raw).max()
+    assert err < 1e-4, err
