@@ -206,8 +206,16 @@ def istft_ri(spec_ri: jnp.ndarray, n_fft: int,
              win_length: Optional[int] = None,
              window: Optional[np.ndarray] = None, center: bool = True,
              length: Optional[int] = None,
-             method: str = "matmul") -> jnp.ndarray:
-    """ISTFT from (..., bins, frames, 2) real/imag layout (all-real math)."""
+             method: str = "matmul",
+             frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """ISTFT from (..., bins, frames, 2) real/imag layout (all-real math).
+
+    ``frame_mask``: optional traced (frames,) 0/1 mask. Masked frames are
+    excluded from BOTH the overlap-add numerator and the window-envelope
+    denominator, so istft(padded spec, mask) == istft(trimmed spec)
+    exactly — this lets callers pad the frame axis to a static bucket
+    (one compiled program per bucket) without changing numerics.
+    """
     hop, win = _as_pair(n_fft, hop_length, win_length)
     w = _padded_window(window, n_fft, win)
 
@@ -224,8 +232,13 @@ def istft_ri(spec_ri: jnp.ndarray, n_fft: int,
     n = frames.shape[-2]
     out_len = (n - 1) * hop + n_fft
     wj = jnp.asarray(w, dtype=dtype)
+    wsq = jnp.broadcast_to(wj * wj, (n, n_fft))
+    if frame_mask is not None:
+        m = frame_mask.astype(dtype)
+        frames = frames * m[..., :, None]
+        wsq = wsq * m[:, None]
     sig = _ola(frames * wj, hop, out_len)
-    env = _ola(jnp.broadcast_to(wj * wj, (n, n_fft)), hop, out_len)
+    env = _ola(wsq, hop, out_len)
     sig = sig / jnp.where(env > 1e-11, env, 1.0)
 
     # torch trims n_fft//2 from the left, then takes `length` samples from
