@@ -58,6 +58,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--robust_attacks", default="",
                    help="comma list of in-graph training attacks, e.g. "
                         "'closed_loop,awgn-15,amplitude_scaling-0.8'")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume exactly from a checkpoint dir (params + "
+                        "optimizer + epoch; train_denoise.py:103-122)")
+    p.add_argument("--init_from", default=None, metavar="CKPT",
+                   help="fine-tune: load params only, fresh optimizer "
+                        "(audio_uformer_stft.py fine_tune())")
+    p.add_argument("--freeze", default="",
+                   help="comma list of param-path substrings to freeze "
+                        "(utils/model_utils.py:10-25)")
+    p.add_argument("--early_stop", type=int, default=None,
+                   help="early-stop patience in epochs "
+                        "(train_modelA.py:511-514)")
     return p
 
 
@@ -92,9 +104,10 @@ def main(argv=None) -> str:
     ds = data.SpeechDataset(waves, kind="train",
                             audio_scale=args.audio_scale)
     steps = max(len(ds) // args.batch_size, 1)
-    wm = data.watermark_stream(args.batch_size, source=args.wm_source,
-                               seed=args.seed,
-                               image_scale=args.image_scale)
+    # epoch-keyed stream: makes --resume reproduce the uninterrupted run
+    wm = lambda epoch: data.watermark_stream(  # noqa: E731
+        args.batch_size, source=args.wm_source,
+        seed=args.seed + 7919 * epoch, image_scale=args.image_scale)
 
     # run-dir naming parity: results/<arch>-<dataset>-<timestamp>
     # (audio_uformer_stft.py:373-379)
@@ -105,9 +118,12 @@ def main(argv=None) -> str:
 
     mesh = make_mesh(shape, axes)
     robust = tuple(s for s in args.robust_attacks.split(",") if s)
+    freeze = tuple(s for s in args.freeze.split(",") if s)
     trainer = Trainer(model, cfg, steps_per_epoch=steps, mesh=mesh,
-                      robust_attacks=robust)
-    trainer.fit(ds, wm, result_dir=result_dir)
+                      robust_attacks=robust, freeze=freeze)
+    trainer.fit(ds, wm, result_dir=result_dir, resume_from=args.resume,
+                init_from=args.init_from,
+                early_stop_patience=args.early_stop)
     print(f"done; artifacts in {result_dir}")
     return result_dir
 

@@ -50,8 +50,13 @@ class TrainState:
     batch_stats: Any = None  # for BatchNorm models (ModelA, HiDDeN)
 
 
-def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
-    """AdamW + warmup-cosine (audio_uformer_stft.py:252-257,347-356)."""
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int,
+                   freeze: tuple = ()):
+    """AdamW + warmup-cosine (audio_uformer_stft.py:252-257,347-356).
+
+    ``freeze``: path-substring patterns; matching parameters get no
+    update (and no weight decay) — the reference's freeze/unfreeze
+    (uformerWM/utils/model_utils.py:10-25) as an optax mask."""
     if cfg.warmup:
         sched = schedulers.warmup_cosine(
             cfg.lr_initial, cfg.warmup_epochs, cfg.nepoch, steps_per_epoch,
@@ -59,8 +64,19 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     else:
         sched = schedulers.step_lr(cfg.lr_initial, cfg.step_lr_step,
                                    cfg.step_lr_gamma, steps_per_epoch)
-    return optax.adamw(sched, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
-                       weight_decay=cfg.weight_decay), sched
+    tx = optax.adamw(sched, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+                     weight_decay=cfg.weight_decay)
+    if freeze:
+        def label(params):
+            def one(path, _):
+                name = "/".join(str(getattr(k, "key", k)) for k in path)
+                return "frozen" if any(s in name for s in freeze) \
+                    else "train"
+            return jax.tree_util.tree_map_with_path(one, params)
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label)
+    return tx, sched
 
 
 def uformer_loss(outputs, stft_in: jnp.ndarray, message: jnp.ndarray,
@@ -95,7 +111,8 @@ class Trainer:
     def __init__(self, model, cfg: TrainConfig, steps_per_epoch: int = 100,
                  mesh=None, loss_weights: LossWeights = LossWeights(),
                  robust_attacks: tuple = (),
-                 robust_weight: float = 1.0):
+                 robust_weight: float = 1.0,
+                 freeze: tuple = ()):
         """``robust_attacks``: optional in-graph attack-conditioned
         training (a TPU-native upgrade over the reference, which attacks
         only at eval time, SURVEY §2.5): per step one random attack from
@@ -118,7 +135,8 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.mesh_shape, cfg.mesh_axes)
-        self.tx, self.schedule = make_optimizer(cfg, steps_per_epoch)
+        self.tx, self.schedule = make_optimizer(cfg, steps_per_epoch,
+                                                freeze=tuple(freeze))
         self.loss_weights = loss_weights
         self.is_model_a = type(model).__name__ == "ModelA"
         self.robust_attacks = tuple(robust_attacks)
@@ -164,6 +182,10 @@ class Trainer:
 
     def shard_state(self, state: TrainState) -> TrainState:
         mesh = self.mesh
+        if mesh.size == 1:
+            # keep buffers free of NamedSharding commitments — see the
+            # single-device note in _build_step
+            return state
         if "model" in mesh.axis_names and mesh.shape["model"] > 1:
             pspecs = fsdp_param_specs(state.params, mesh)
         else:
@@ -229,11 +251,19 @@ class Trainer:
                               step=state.step + 1,
                               batch_stats=new_stats), metrics
 
-        data_shard = batch_sharding(self.mesh)
-        self._step_fn = jax.jit(
-            step,
-            in_shardings=(None, data_shard, data_shard, None),
-            donate_argnums=(0,))
+        if self.mesh.size > 1:
+            data_shard = batch_sharding(self.mesh)
+            self._step_fn = jax.jit(
+                step,
+                in_shardings=(None, data_shard, data_shard, None),
+                donate_argnums=(0,))
+        else:
+            # Single device: plain jit. Passing NamedSharding in_shardings
+            # to a 1-device mesh routes every call through a pathological
+            # resharding path on the remote-TPU backend (measured 22.5 s
+            # vs 29 ms per step for the identical program — the round-1
+            # "11 s/step" mystery).
+            self._step_fn = jax.jit(step, donate_argnums=(0,))
         return self._step_fn
 
     def train_step(self, state: TrainState, batch, message,
@@ -245,26 +275,85 @@ class Trainer:
 
     # -------------------- the loop --------------------
 
+    def _restore_state(self, path: str, template: TrainState,
+                       params_only: bool = False) -> tuple[TrainState, int]:
+        """Pour a checkpoint back into the state template. Returns
+        (state, next_epoch)."""
+        from image_in_speech_watermarking_tpu.train import checkpoint as ckpt
+
+        like = {"params": template.params, "step": 0, "epoch": 0}
+        if not params_only:
+            like["opt_state"] = template.opt_state
+        if template.batch_stats is not None:
+            like["batch_stats"] = template.batch_stats
+        raw = ckpt.restore(path)
+        # pour stored leaves field-by-field into the template's structure
+        # (optax namedtuples etc. don't survive serialization)
+        restored = {}
+        for k in like:
+            sub = raw[k] if k in raw else like[k]
+            restored[k] = jax.tree.unflatten(jax.tree.structure(like[k]),
+                                             jax.tree.leaves(sub))
+        if params_only:
+            state = dataclasses.replace(
+                template, params=restored["params"],
+                batch_stats=restored.get("batch_stats",
+                                         template.batch_stats))
+            return self.shard_state(state), 1
+        state = TrainState(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+            batch_stats=restored.get("batch_stats"))
+        return self.shard_state(state), int(restored["epoch"]) + 1
+
     def fit(self, dataset, wm_stream, epochs: Optional[int] = None,
             result_dir: Optional[str] = None,
             log_every: int = 10,
             callback: Optional[Callable] = None,
-            early_stop_patience: Optional[int] = None):
+            early_stop_patience: Optional[int] = None,
+            resume_from: Optional[str] = None,
+            init_from: Optional[str] = None):
         """Epoch loop with best-loss checkpointing
         (audio_uformer_stft.py:418-553) and jsonl metrics (replacing
         exp_loss.txt). ``early_stop_patience`` mirrors the ModelA
         trainer's stop after N non-improving epochs
-        (train_modelA.py:511-514; patience 5 in the reference)."""
+        (train_modelA.py:511-514; patience 5 in the reference).
+
+        ``resume_from``: checkpoint dir — restores params + optimizer
+        state + epoch and continues exactly (the schedule count lives in
+        opt_state, so lr replay matches train_denoise.py:103-122's resume
+        semantics). Data order, watermark stream and dropout rngs are
+        derived per-epoch from cfg.seed, so a killed-and-resumed run
+        reproduces the uninterrupted loss curve.
+
+        ``init_from``: checkpoint dir — loads params (+ batch_stats) only
+        and starts a FRESH optimizer/schedule: the reference's
+        fine_tune() entry (audio_uformer_stft.py). This is the safe path
+        for continued training with changed data/loss: replaying stale
+        AdamW second moments against a shifted objective diverges
+        (observed in round 1).
+
+        ``wm_stream`` may be an iterator (legacy) or a callable
+        ``epoch -> iterator`` — the callable form makes resume exact.
+        """
         from image_in_speech_watermarking_tpu.train import checkpoint as ckpt
 
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.nepoch
+        wm_factory = wm_stream if callable(wm_stream) else None
+        stream = None if wm_factory else wm_stream
         sample = next(dataset.batches(cfg.batch_size, seed=0))
-        msg0 = next(wm_stream)
+        msg0 = next(wm_factory(0)) if wm_factory else next(stream)
         state = self.init_state(jnp.asarray(sample), jnp.asarray(msg0))
-        rng = jax.random.key(cfg.seed)
+        start_epoch = 1
+        if resume_from:
+            state, start_epoch = self._restore_state(resume_from, state)
+        elif init_from:
+            state, _ = self._restore_state(init_from, state,
+                                           params_only=True)
 
         best = None
+        best_epoch = start_epoch
         log_f = None
         if result_dir:
             os.makedirs(result_dir, exist_ok=True)
@@ -274,11 +363,13 @@ class Trainer:
                 json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
             log_f = open(os.path.join(result_dir, "exp_loss.jsonl"), "a")
 
-        for epoch in range(1, epochs + 1):
+        for epoch in range(start_epoch, epochs + 1):
             epoch_loss, t0 = 0.0, time.time()
+            rng = jax.random.fold_in(jax.random.key(cfg.seed), epoch)
+            wm_iter = wm_factory(epoch) if wm_factory else None
             for i, batch in enumerate(
                     dataset.batches(cfg.batch_size, seed=epoch)):
-                message = next(wm_stream)
+                message = next(wm_iter) if wm_iter else next(stream)
                 rng, sub = jax.random.split(rng)
                 state, metrics = self.train_step(state, batch, message, sub)
                 loss = float(metrics["loss"])
