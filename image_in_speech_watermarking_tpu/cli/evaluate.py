@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--wm_source", default="digits")
     p.add_argument("--use_host_codecs", action="store_true",
                    help="real ffmpeg aac/mp3 instead of the codec sim")
+    p.add_argument("--save_artifacts", type=int, default=0, metavar="N",
+                   help="dump the reference's wav/png/watermark artifact "
+                        "set (evaluate.py:239-282) for the first N "
+                        "utterances per attack x split")
     p.add_argument("--embed_dim", type=int, default=32)
     p.add_argument("--audio_scale", default="0",
                    help="feature normalization used at train time "
@@ -84,7 +88,7 @@ def main(argv=None):
         model_name=model_name, result_path=args.result_dir,
         use_host_codecs=args.use_host_codecs,
         audio_scale=args.audio_scale, data_min=data_min,
-        data_max=data_max)
+        data_max=data_max, save_artifacts=args.save_artifacts)
     for r in results:
         print("Result on {set} set, attack: {attack}: Total clips: "
               "{clips}, MSE loss {mse:.6f}, WM loss: {wm:.6f}, WM loss "

@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--early_stop", type=int, default=None,
                    help="early-stop patience in epochs "
                         "(train_modelA.py:511-514)")
+    p.add_argument("--fig_every", type=int, default=0, metavar="N",
+                   help="save message/pred/decode figure grids every N "
+                        "epochs (audio_uformer_stft.py:486-536)")
     return p
 
 
@@ -123,7 +126,8 @@ def main(argv=None) -> str:
                       robust_attacks=robust, freeze=freeze)
     trainer.fit(ds, wm, result_dir=result_dir, resume_from=args.resume,
                 init_from=args.init_from,
-                early_stop_patience=args.early_stop)
+                early_stop_patience=args.early_stop,
+                fig_every=args.fig_every)
     print(f"done; artifacts in {result_dir}")
     return result_dir
 

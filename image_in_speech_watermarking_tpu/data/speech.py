@@ -130,6 +130,14 @@ class SpeechDataset:
     transform: Optional[callable] = None
 
     def __post_init__(self):
+        # Featurization is host-side prep over per-utterance (ragged)
+        # shapes: pin it to the CPU backend — on the remote-TPU platform,
+        # eager dispatch would otherwise compile one program per
+        # utterance length through the tunnel (minutes for a corpus).
+        with jax.default_device(jax.devices("cpu")[0]):
+            self._featurize()
+
+    def _featurize(self):
         feats = []
         self.tails: List[int] = []
         self.last_rows: List[np.ndarray] = []

@@ -306,13 +306,38 @@ class Trainer:
             batch_stats=restored.get("batch_stats"))
         return self.shard_state(state), int(restored["epoch"]) + 1
 
+    def _dump_figure(self, state: TrainState, fig_pair, result_dir: str,
+                     epoch: int):
+        """message / wm_pred / wm_decode grid for one batch
+        (audio_uformer_stft.py:486-536)."""
+        from image_in_speech_watermarking_tpu.eval.artifacts import (
+            save_training_figure)
+
+        batch, message = (jnp.asarray(x) for x in fig_pair)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        if self.is_model_a:
+            _, extracted = self.model.apply(variables, batch, message)
+            wm_pred = wm_decode = extracted
+        else:
+            _, _, wm_pred, wm_decode = self.model.apply(variables, batch,
+                                                        message)
+        figdir = os.path.join(result_dir, "figures")
+        os.makedirs(figdir, exist_ok=True)
+        save_training_figure(
+            os.path.join(figdir, f"epoch{epoch:04d}.png"),
+            np.asarray(message), np.asarray(wm_pred),
+            np.asarray(wm_decode))
+
     def fit(self, dataset, wm_stream, epochs: Optional[int] = None,
             result_dir: Optional[str] = None,
             log_every: int = 10,
             callback: Optional[Callable] = None,
             early_stop_patience: Optional[int] = None,
             resume_from: Optional[str] = None,
-            init_from: Optional[str] = None):
+            init_from: Optional[str] = None,
+            fig_every: int = 0):
         """Epoch loop with best-loss checkpointing
         (audio_uformer_stft.py:418-553) and jsonl metrics (replacing
         exp_loss.txt). ``early_stop_patience`` mirrors the ModelA
@@ -335,6 +360,10 @@ class Trainer:
 
         ``wm_stream`` may be an iterator (legacy) or a callable
         ``epoch -> iterator`` — the callable form makes resume exact.
+
+        ``fig_every``: every N epochs save a message / wm_pred / wm_decode
+        image grid to <result_dir>/figures (the reference dumps these
+        every 10 steps, audio_uformer_stft.py:486-536).
         """
         from image_in_speech_watermarking_tpu.train import checkpoint as ckpt
 
@@ -367,9 +396,12 @@ class Trainer:
             epoch_loss, t0 = 0.0, time.time()
             rng = jax.random.fold_in(jax.random.key(cfg.seed), epoch)
             wm_iter = wm_factory(epoch) if wm_factory else None
+            fig_pair = None
             for i, batch in enumerate(
                     dataset.batches(cfg.batch_size, seed=epoch)):
                 message = next(wm_iter) if wm_iter else next(stream)
+                if i == 0:
+                    fig_pair = (batch, message)
                 rng, sub = jax.random.split(rng)
                 state, metrics = self.train_step(state, batch, message, sub)
                 loss = float(metrics["loss"])
@@ -380,6 +412,9 @@ class Trainer:
                     log_f.write(json.dumps(rec) + "\n")
             if log_f:
                 log_f.flush()
+            if result_dir and fig_every and epoch % fig_every == 0 \
+                    and fig_pair is not None:
+                self._dump_figure(state, fig_pair, result_dir, epoch)
             if callback:
                 callback(epoch, state, epoch_loss)
             if best is None or epoch_loss < best:

@@ -87,3 +87,27 @@ def test_blur_downsample():
     assert y.shape == (2, 8, 8, 3)
     c = jnp.ones((1, 8, 8, 2)) * 0.7
     assert float(jnp.abs(blur_downsample(c) - 0.7).max()) < 1e-6
+
+
+def test_flops_accounting():
+    """utils/flops: parameter accounting matches a hand count and the XLA
+    cost analysis returns sane positive numbers (reference annotates
+    per-module flops, model.py:2784-2805)."""
+    import jax
+    import jax.numpy as jnp
+    from image_in_speech_watermarking_tpu.utils import flops
+
+    params = {"a": {"kernel": jnp.zeros((3, 4)), "bias": jnp.zeros(4)},
+              "b": {"kernel": jnp.zeros((4, 5))}}
+    assert flops.param_count(params) == 12 + 4 + 20
+    table = flops.param_table(params)
+    assert table == {"b": 20, "a": 16}
+
+    def fn(x):
+        return (x @ x.T).sum()
+
+    prof = flops.profile_fn(fn, jnp.ones((64, 64)))
+    assert prof["flops"] >= 2 * 64 * 64 * 64 * 0.9
+    assert prof["bytes_accessed"] > 0
+    rl = flops.roofline_ms(prof)
+    assert rl["roofline_ms"] > 0
