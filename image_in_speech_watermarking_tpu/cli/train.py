@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fig_every", type=int, default=0, metavar="N",
                    help="save message/pred/decode figure grids every N "
                         "epochs (audio_uformer_stft.py:486-536)")
+    p.add_argument("--save_every", type=int, default=1, metavar="N",
+                   help="min epochs between best-loss checkpoint writes")
     return p
 
 
@@ -127,7 +129,7 @@ def main(argv=None) -> str:
     trainer.fit(ds, wm, result_dir=result_dir, resume_from=args.resume,
                 init_from=args.init_from,
                 early_stop_patience=args.early_stop,
-                fig_every=args.fig_every)
+                fig_every=args.fig_every, save_every=args.save_every)
     print(f"done; artifacts in {result_dir}")
     return result_dir
 

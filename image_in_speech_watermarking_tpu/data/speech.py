@@ -142,6 +142,13 @@ class SpeechDataset:
         self.tails: List[int] = []
         self.last_rows: List[np.ndarray] = []
         for w in self.waves:
+            if self.kind == "train":
+                # trim to a 16384-sample grid: the featurization program
+                # is compiled per distinct length, and training only
+                # consumes whole clips anyway — a ragged corpus would
+                # otherwise trigger one compile per utterance
+                q = CLIP_FRAMES * TRAIN_HOP
+                w = w[: max(len(w) // q * q, q)]
             wj = jnp.asarray(w)
             if self.kind == "train":
                 feats.append(np.asarray(wave_to_train_clips(wj)))
