@@ -67,6 +67,11 @@ class UformerConfig:
     compute_dtype: str = "float32"
     # Fused Pallas window-attention kernel (ops/window_attention.py)
     use_pallas_attention: bool = False
+    # Whole-block fused LeWin kernels (ops/lewin_block.py): LN+W-MSA+proj
+    # +residual and LN+LeFF+residual each as one HBM pass. Forward-only
+    # fusion (the VJP replays the jnp reference); active when
+    # deterministic or drop_path == 0.
+    use_pallas_block: bool = False
 
     # Stock image-restoration Uformer (model.py:2545) uses depths of 2s and
     # dd_in=3/in_chans=3; construct via `stock_uformer()` below.

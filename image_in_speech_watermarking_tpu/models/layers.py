@@ -352,6 +352,58 @@ class LeWinTransformerBlock(nn.Module):
     cross_modulator: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_block: bool = False
+
+    def _fused_block(self, x, h, w, win, shift):
+        """Whole-block fused Pallas path (ops/lewin_block.py): two
+        kernels per block, each a single HBM pass. Reads the params the
+        standard path created, so checkpoints are interchangeable."""
+        from image_in_speech_watermarking_tpu.ops import (
+            fused_lewin_attn, fused_lewin_leff, make_mod_band, pick_band)
+
+        b, l, c = x.shape
+        n = win * win
+        dt = self.dtype
+        p_n1 = self.get_variable("params", "norm1")
+        p_at = self.get_variable("params", "attn")
+        p_n2 = self.get_variable("params", "norm2")
+        p_ml = self.get_variable("params", "mlp")
+        table = p_at["relative_position_bias_table"]
+        idx = relative_position_index(win, win)
+        bias_hnn = table[idx.reshape(-1)].reshape(
+            n, n, self.num_heads).transpose(2, 0, 1).astype(jnp.float32)
+        band = pick_band(h, win, w, c)
+        mod = self.get_variable("params", "modulator") \
+            if self.modulator else None
+        mod_band = make_mod_band(mod, win, w, band, c, jnp.float32)
+
+        y = x.astype(dt).reshape(b, h, w, c)
+        if shift > 0:
+            y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shift_attn_mask(h, w, win, shift))
+        else:
+            mask = None
+        y = fused_lewin_attn(
+            y, p_n1["scale"].astype(jnp.float32),
+            p_n1["bias"].astype(jnp.float32), mod_band,
+            p_at["qkv_kernel"].astype(dt),
+            p_at.get("qkv_bias", jnp.zeros((3 * c,))).astype(jnp.float32),
+            p_at["proj_kernel"].astype(dt),
+            p_at["proj_bias"].astype(jnp.float32), bias_hnn, mask,
+            self.num_heads, win)
+        if shift > 0:
+            y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
+        y = y.reshape(b, l, c)
+        return fused_lewin_leff(
+            y, p_n2["scale"].astype(jnp.float32),
+            p_n2["bias"].astype(jnp.float32),
+            p_ml["linear1"]["kernel"].astype(dt),
+            p_ml["linear1"]["bias"].astype(jnp.float32),
+            p_ml["dwconv"]["kernel"][:, :, 0].astype(dt),
+            p_ml["dwconv"]["bias"].astype(jnp.float32),
+            p_ml["linear2"]["kernel"].astype(dt),
+            p_ml["linear2"]["bias"].astype(jnp.float32),
+            h, w, dt == jnp.bfloat16).astype(x.dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -361,6 +413,14 @@ class LeWinTransformerBlock(nn.Module):
             win, shift = min(h, w), 0
         b, l, c = x.shape
         assert l == h * w
+
+        fused_ok = (
+            self.use_pallas_block
+            and self.token_projection == "linear"
+            and self.token_mlp not in ("ffn", "mlp")
+            and (deterministic or self.drop_path == 0.0)
+            and not self.is_initializing()
+            and self.has_variable("params", "attn"))
 
         if self.cross_modulator:
             # cross-attend tokens to a learned win^2 x dim embedding
@@ -373,6 +433,9 @@ class LeWinTransformerBlock(nn.Module):
             x = x + Attention(dim=self.dim, num_heads=self.num_heads,
                               qkv_bias=self.qkv_bias, dtype=self.dtype,
                               name="cross_attn")(x, attn_kv=cross_emb)
+
+        if fused_ok:
+            return self._fused_block(x, h, w, win, shift)
 
         shortcut = x
         # LayerNorm in f32 (dtype=f32 upcasts internally), output in the
@@ -437,6 +500,7 @@ class BasicUformerLayer(nn.Module):
     use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_block: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -451,6 +515,7 @@ class BasicUformerLayer(nn.Module):
                 token_projection=self.token_projection,
                 token_mlp=self.token_mlp, modulator=self.modulator,
                 dtype=self.dtype, use_pallas=self.use_pallas,
+                use_pallas_block=self.use_pallas_block,
                 name=f"blocks_{i}")
             if self.use_remat:
                 x = nn.remat(lambda m, a: m(a, deterministic))(block, x)

@@ -21,7 +21,9 @@ def get_arch(arch: str, train_ps: int = 128, embed_dim: int = 32,
             token_projection=token_projection, token_mlp=token_mlp,
             dd_in=dd_in, in_chans=dd_in,
             depths=(1, 2, 8, 8, 2, 8, 8, 2, 1), modulator=True,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            use_pallas_attention=kw.pop("use_pallas_attention", False),
+            use_pallas_block=kw.pop("use_pallas_block", False))
         return uformer.UformerAudio(cfg, **kw)
     if arch == "ModelA":
         return baselines.ModelA()

@@ -71,6 +71,7 @@ class UformerEncoder(nn.Module):
                 token_mlp=cfg.token_mlp, shift_flag=cfg.shift_flag,
                 use_remat=self.use_remat, dtype=dt,
                 use_pallas=cfg.use_pallas_attention,
+                use_pallas_block=cfg.use_pallas_block,
                 name=f"encoderlayer_{i}")(y, deterministic)
             outs.append(y)
             offset += cfg.depths[i]
@@ -86,6 +87,7 @@ class UformerEncoder(nn.Module):
             token_projection=cfg.token_projection, token_mlp=cfg.token_mlp,
             shift_flag=cfg.shift_flag, use_remat=self.use_remat, dtype=dt,
             use_pallas=cfg.use_pallas_attention,
+            use_pallas_block=cfg.use_pallas_block,
             name="conv")(y, deterministic)
         outs.append(y)
         return tuple(outs)  # conv0..conv4
@@ -131,6 +133,7 @@ class UformerDecoder(nn.Module):
                 modulator=cfg.modulator, use_remat=self.use_remat,
                 dtype=_cdtype(cfg),
                 use_pallas=cfg.use_pallas_attention,
+                use_pallas_block=cfg.use_pallas_block,
                 name=f"decoderlayer_{i}")(y, deterministic)
             offset += depth
             in_mult = dim // e
