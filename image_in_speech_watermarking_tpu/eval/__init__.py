@@ -12,3 +12,4 @@ from image_in_speech_watermarking_tpu.eval.hidden_pipeline import (  # noqa: F40
     HiddenUtteranceResult, reconstruct_audio_hidden,
 )
 from image_in_speech_watermarking_tpu.eval import image_metrics  # noqa: F401
+from image_in_speech_watermarking_tpu.eval import submissions  # noqa: F401
