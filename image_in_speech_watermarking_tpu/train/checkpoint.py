@@ -43,6 +43,39 @@ def save(path: str, state, epoch: int = 0) -> str:
     return path
 
 
+_async_ckptr = None
+
+
+def save_async(path: str, state, epoch: int = 0) -> str:
+    """Async save: orbax snapshots device arrays to host synchronously
+    (so the train loop may immediately donate/overwrite them) and
+    persists in a background thread — the ~800 MB flagship write no
+    longer stalls the step stream. Call ``wait_for_saves()`` before
+    reading the checkpoint back or exiting."""
+    global _async_ckptr
+    import orbax.checkpoint as ocp
+
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": int(state.step),
+        "epoch": epoch,
+    }
+    if getattr(state, "batch_stats", None) is not None:
+        payload["batch_stats"] = state.batch_stats
+    path = os.path.abspath(path)
+    _async_ckptr.save(path, payload, force=True)
+    return path
+
+
+def wait_for_saves() -> None:
+    """Block until every pending ``save_async`` has hit disk."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def restore(path: str, like: Any = None) -> dict:
     """Restore a checkpoint; with ``like`` (a template pytree, e.g. a
     freshly-initialized state) the stored leaves are poured back into the

@@ -434,12 +434,14 @@ class Trainer:
                 # orbax save round-trips ~800 MB off-device)
                 if result_dir and (epoch - last_saved >= save_every
                                    or epoch == epochs):
-                    ckpt.save(os.path.join(result_dir, "model"), state,
-                              epoch=epoch)
+                    # async: snapshot to host now, write in background
+                    ckpt.save_async(os.path.join(result_dir, "model"),
+                                    state, epoch=epoch)
                     last_saved = epoch
             elif early_stop_patience is not None \
                     and epoch - best_epoch >= early_stop_patience:
                 break  # early stop (train_modelA.py:511-514)
         if log_f:
             log_f.close()
+        ckpt.wait_for_saves()
         return state

@@ -278,3 +278,30 @@ def test_freeze_masks_updates():
             moved_train = max(moved_train, d)
     assert moved_frozen == 0.0
     assert moved_train > 0.0
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """save_async + wait_for_saves must produce a checkpoint restore()
+    reads back identically (train/checkpoint.py async path)."""
+    import flax.struct
+    import jax.numpy as jnp
+
+    from image_in_speech_watermarking_tpu.train import checkpoint as ckpt
+
+    @flax.struct.dataclass
+    class S:
+        params: dict
+        opt_state: dict
+        step: jnp.ndarray
+        batch_stats: dict = None
+
+    state = S(params={"w": jnp.arange(6.0).reshape(2, 3)},
+              opt_state={"m": jnp.ones((2, 3))},
+              step=jnp.asarray(7, jnp.int32))
+    path = str(tmp_path / "ck")
+    ckpt.save_async(path, state, epoch=3)
+    ckpt.wait_for_saves()
+    back = ckpt.restore(path)
+    assert int(back["epoch"]) == 3 and int(back["step"]) == 7
+    np.testing.assert_allclose(np.asarray(back["params"]["w"]),
+                               np.arange(6.0).reshape(2, 3))
