@@ -142,6 +142,7 @@ class Trainer:
         self.robust_attacks = tuple(robust_attacks)
         self.robust_weight = robust_weight
         self._step_fn = None
+        self._fig_fn = None
 
     def _robust_decode_loss(self, variables, batch, noise, message, rng):
         """Random-attack the watermarked waveform in-graph and penalize
@@ -317,12 +318,18 @@ class Trainer:
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
+        # jit: an eager apply dispatches each op through the (remote)
+        # device tunnel one at a time — observed to stall an epoch for
+        # >15 min where the jitted forward takes ~100 ms
+        if self._fig_fn is None:
+            self._fig_fn = jax.jit(
+                lambda v, b, m: self.model.apply(v, b, m))
         if self.is_model_a:
-            _, extracted = self.model.apply(variables, batch, message)
+            _, extracted = self._fig_fn(variables, batch, message)
             wm_pred = wm_decode = extracted
         else:
-            _, _, wm_pred, wm_decode = self.model.apply(variables, batch,
-                                                        message)
+            _, _, wm_pred, wm_decode = self._fig_fn(variables, batch,
+                                                    message)
         figdir = os.path.join(result_dir, "figures")
         os.makedirs(figdir, exist_ok=True)
         save_training_figure(
