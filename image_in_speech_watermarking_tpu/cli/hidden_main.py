@@ -28,6 +28,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _wm(args, batch: int, seed: int):
+    from image_in_speech_watermarking_tpu import data
+
+    if args.wm_source == "binary":
+        return data.binary_watermarks(batch, seed=seed)
+    return data.digit_watermarks(batch, seed=seed)
+
+
 def main(argv=None):
     from image_in_speech_watermarking_tpu import data
     from image_in_speech_watermarking_tpu.attacks import parse_noise_config
@@ -50,6 +58,11 @@ def main(argv=None):
                    help="utterances to load")
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--message", type=int, default=32)
+    p.add_argument("--wm_source", default="digits",
+                   choices=["digits", "binary"],
+                   help="watermark messages: MNIST-shaped digit glyphs "
+                        "or random 32x32 bits (the bitwise-error table "
+                        "protocol, hidden/test_model.py:50-64)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -68,7 +81,7 @@ def main(argv=None):
         assert args.folder, "--folder required for continue"
         run_dir = args.folder
         img0 = jnp.asarray(covers[: args.batch_size])
-        msg0 = jnp.asarray(data.digit_watermarks(args.batch_size))
+        msg0 = jnp.asarray(_wm(args, args.batch_size, 0))
         fresh = net.init_state(jax.random.key(args.seed), img0, msg0)
         payload = ckpt.restore_tree(
             os.path.join(run_dir, "checkpoints", "latest"),
@@ -80,7 +93,7 @@ def main(argv=None):
         with open(os.path.join(run_dir, "options.json"), "w") as f:
             json.dump(vars(args), f, indent=2)
         img0 = jnp.asarray(covers[: args.batch_size])
-        msg0 = jnp.asarray(data.digit_watermarks(args.batch_size))
+        msg0 = jnp.asarray(_wm(args, args.batch_size, 0))
         state = net.init_state(jax.random.key(args.seed), img0, msg0)
 
     key = jax.random.key(args.seed)
@@ -94,8 +107,8 @@ def main(argv=None):
             if len(idx) < args.batch_size:
                 break
             img = jnp.asarray(covers[idx])
-            msg = jnp.asarray(data.digit_watermarks(
-                args.batch_size, seed=epoch * 1000 + b))
+            msg = jnp.asarray(_wm(args, args.batch_size,
+                                  epoch * 1000 + b))
             key, sub = jax.random.split(key)
             state, losses, _ = net.train_on_batch(state, [img, msg], sub)
             for k, v in losses.items():
