@@ -173,12 +173,29 @@ def stft_ri(x: jnp.ndarray, n_fft: int, hop_length: Optional[int] = None,
 
 
 def _ola(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
-    """Overlap-add (..., n, n_fft) -> (..., out_len) via scatter-add."""
+    """Overlap-add (..., n, n_fft) -> (..., out_len).
+
+    TPU-first: decomposed into K = ceil(n_fft/hop) shifted pad+add passes
+    over contiguous memory (each frame split into K hop-sized phases; the
+    j-th phase of frame i lands in output block i+j). A scatter-add over
+    the same index pattern serializes on TPU; this form is pure
+    pad/reshape/add and fuses."""
     n, n_fft = frames.shape[-2], frames.shape[-1]
-    idx = (np.arange(n)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
-    flat = frames.reshape(frames.shape[:-2] + (n * n_fft,))
-    out = jnp.zeros(frames.shape[:-2] + (out_len,), dtype=frames.dtype)
-    return out.at[..., idx].add(flat)
+    k = -(-n_fft // hop)
+    lead = frames.shape[:-2]
+    fp = jnp.pad(frames, [(0, 0)] * len(lead) + [(0, 0),
+                                                 (0, k * hop - n_fft)])
+    fp = fp.reshape(lead + (n, k, hop))
+    total = (n + k - 1) * hop
+    acc = None
+    for j in range(k):
+        seg = fp[..., :, j, :].reshape(lead + (n * hop,))
+        seg = jnp.pad(seg, [(0, 0)] * len(lead)
+                      + [(j * hop, (k - 1 - j) * hop)])
+        acc = seg if acc is None else acc + seg
+    if out_len <= total:
+        return acc[..., :out_len]
+    return jnp.pad(acc, [(0, 0)] * len(lead) + [(0, out_len - total)])
 
 
 def istft(spec: jnp.ndarray, n_fft: int, hop_length: Optional[int] = None,
