@@ -43,6 +43,11 @@ def main(argv=None):
                         "set (evaluate.py:239-282) for the first N "
                         "utterances per attack x split")
     p.add_argument("--embed_dim", type=int, default=32)
+    p.add_argument("--train_size", type=int, default=None,
+                   help="utterances for the train-split min/max stats "
+                        "(defaults to --size; set to the TRAINING corpus "
+                        "size so min-max feature scaling matches the "
+                        "checkpoint, evaluate.py:322-334)")
     p.add_argument("--audio_scale", default="0",
                    help="feature normalization used at train time "
                         "('0.025' or 'lo-hi'; min/max taken from the "
@@ -64,7 +69,8 @@ def main(argv=None):
     # (evaluate.py:322-334 builds SpeechDataTrain just for these)
     data_min, data_max = 0.0, 1.0
     if "-" in args.audio_scale:
-        train_waves = data.load_corpus(args.dataset, args.size,
+        train_waves = data.load_corpus(args.dataset,
+                                       args.train_size or args.size,
                                        split="train")
         ds_train = data.SpeechDataset(train_waves, kind="train",
                                       audio_scale=args.audio_scale)
