@@ -63,6 +63,11 @@ def main(argv=None):
                    help="watermark messages: MNIST-shaped digit glyphs "
                         "or random 32x32 bits (the bitwise-error table "
                         "protocol, hidden/test_model.py:50-64)")
+    p.add_argument("--val-size", type=int, default=8,
+                   help="held-out utterances for the per-epoch validation "
+                        "pass (the hidden README table reports validation "
+                        "losses + bitwise error, hidden/README.md:94-101); "
+                        "0 disables")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -74,6 +79,12 @@ def main(argv=None):
     waves = data.load_corpus(args.dataset, args.size, seed=args.seed)
     ds = data.SpeechDataset(waves, kind="audio")
     covers = np.concatenate(ds.per_utterance, axis=0)
+    val_covers = None
+    if args.val_size:
+        val_waves = data.load_corpus(args.dataset, args.val_size,
+                                     split="val", seed=args.seed)
+        val_ds = data.SpeechDataset(val_waves, kind="audio")
+        val_covers = np.concatenate(val_ds.per_utterance, axis=0)
     rng = np.random.default_rng(args.seed)
 
     start_epoch = 1
@@ -118,6 +129,26 @@ def main(argv=None):
                      time.time() - t0)
         print(f"epoch {epoch}: " + " ".join(
             f"{k}={v:.4f}" for k, v in avg.items()))
+        if val_covers is not None:
+            tv = time.time()
+            vmeters = {}
+            nvb = max(len(val_covers) // args.batch_size, 1)
+            for b in range(nvb):
+                idx = slice(b * args.batch_size, (b + 1) * args.batch_size)
+                img = jnp.asarray(val_covers[idx])
+                if img.shape[0] < args.batch_size:
+                    break
+                msg = jnp.asarray(_wm(args, args.batch_size,
+                                      500_000 + epoch * 1000 + b))
+                key, sub = jax.random.split(key)
+                losses, _ = net.validate_on_batch(state, [img, msg], sub)
+                for k, v in losses.items():
+                    vmeters.setdefault(k, AverageMeter()).update(v)
+            vavg = {k: m.avg for k, m in vmeters.items()}
+            write_losses(os.path.join(run_dir, "validation.csv"), vavg,
+                         epoch, time.time() - tv)
+            print(f"  val {epoch}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in vavg.items()))
         ckpt.save_tree(os.path.join(run_dir, "checkpoints", "latest"),
                        net.checkpoint_payload(state, epoch))
     print(f"run folder: {run_dir}")
