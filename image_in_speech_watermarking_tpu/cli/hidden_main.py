@@ -43,7 +43,7 @@ def main(argv=None):
     from image_in_speech_watermarking_tpu.train import checkpoint as ckpt
     from image_in_speech_watermarking_tpu.train.hidden_trainer import Hidden
     from image_in_speech_watermarking_tpu.utils import (
-        AverageMeter, create_folder_for_run, write_losses)
+        create_folder_for_run, write_losses)
 
     p = argparse.ArgumentParser("hidden_main")
     p.add_argument("mode", choices=["new", "continue"])
@@ -107,44 +107,44 @@ def main(argv=None):
         msg0 = jnp.asarray(_wm(args, args.batch_size, 0))
         state = net.init_state(jax.random.key(args.seed), img0, msg0)
 
+    assert len(covers) >= args.batch_size, (
+        f"corpus has {len(covers)} clips < batch size {args.batch_size}")
+    # device-resident epochs: covers pinned on device once, each epoch is
+    # one scanned program + one stacked-losses fetch (hidden_trainer
+    # run_epoch; the per-batch loop paid a tunnel round trip per batch)
+    covers_dev = jax.device_put(jnp.asarray(covers))
+    val_dev = (jax.device_put(jnp.asarray(val_covers))
+               if val_covers is not None
+               and len(val_covers) >= args.batch_size else None)
+
     key = jax.random.key(args.seed)
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
-        meters = {}
-        order = rng.permutation(len(covers))
-        nb = max(len(covers) // args.batch_size, 1)
-        for b in range(nb):
-            idx = order[b * args.batch_size:(b + 1) * args.batch_size]
-            if len(idx) < args.batch_size:
-                break
-            img = jnp.asarray(covers[idx])
-            msg = jnp.asarray(_wm(args, args.batch_size,
-                                  epoch * 1000 + b))
-            key, sub = jax.random.split(key)
-            state, losses, _ = net.train_on_batch(state, [img, msg], sub)
-            for k, v in losses.items():
-                meters.setdefault(k, AverageMeter()).update(v)
-        avg = {k: m.avg for k, m in meters.items()}
+        nb = len(covers) // args.batch_size
+        order = rng.permutation(len(covers))[: nb * args.batch_size]
+        idx = order.reshape(nb, args.batch_size).astype(np.int32)
+        msgs = np.stack([_wm(args, args.batch_size, epoch * 1000 + b)
+                         for b in range(nb)])
+        key, sub = jax.random.split(key)
+        state, stacked = net.run_epoch(state, covers_dev, idx, msgs, sub)
+        stacked = jax.device_get(stacked)
+        avg = {k: float(np.mean(v)) for k, v in stacked.items()}
         write_losses(os.path.join(run_dir, "train.csv"), avg, epoch,
                      time.time() - t0)
         print(f"epoch {epoch}: " + " ".join(
             f"{k}={v:.4f}" for k, v in avg.items()))
-        if val_covers is not None:
+        if val_dev is not None:
             tv = time.time()
-            vmeters = {}
-            nvb = max(len(val_covers) // args.batch_size, 1)
-            for b in range(nvb):
-                idx = slice(b * args.batch_size, (b + 1) * args.batch_size)
-                img = jnp.asarray(val_covers[idx])
-                if img.shape[0] < args.batch_size:
-                    break
-                msg = jnp.asarray(_wm(args, args.batch_size,
-                                      500_000 + epoch * 1000 + b))
-                key, sub = jax.random.split(key)
-                losses, _ = net.validate_on_batch(state, [img, msg], sub)
-                for k, v in losses.items():
-                    vmeters.setdefault(k, AverageMeter()).update(v)
-            vavg = {k: m.avg for k, m in vmeters.items()}
+            nvb = len(val_covers) // args.batch_size
+            vidx = np.arange(nvb * args.batch_size, dtype=np.int32)
+            vidx = vidx.reshape(nvb, args.batch_size)
+            vmsgs = np.stack([
+                _wm(args, args.batch_size, 500_000 + epoch * 1000 + b)
+                for b in range(nvb)])
+            key, sub = jax.random.split(key)
+            vst = jax.device_get(
+                net.run_val_epoch(state, val_dev, vidx, vmsgs, sub))
+            vavg = {k: float(np.mean(v)) for k, v in vst.items()}
             write_losses(os.path.join(run_dir, "validation.csv"), vavg,
                          epoch, time.time() - tv)
             print(f"  val {epoch}: " + " ".join(

@@ -66,6 +66,10 @@ class Hidden:
         self.tx_discrim = optax.adam(lr)
         self._train_fn = None
         self._val_fn = None
+        self._raw_train = None
+        self._raw_val = None
+        self._epoch_fn = None
+        self._vepoch_fn = None
 
     # ------------------------------------------------------------------
     def init_state(self, rng, image, message) -> HiddenState:
@@ -169,6 +173,7 @@ class Hidden:
                       "discr_encod_bce": bce_enc}
             return new_state, losses, (encoded, noised, decoded)
 
+        self._raw_train = step
         return jax.jit(step, donate_argnums=(0,))
 
     def _build_val(self):
@@ -189,9 +194,61 @@ class Hidden:
                       "discr_encod_bce": _bce_logits(g_logits, 0.0)}
             return losses, (encoded, noised, decoded)
 
+        self._raw_val = step
         return jax.jit(step)
 
     # ------------------------------------------------------------------
+    # Device-resident epochs: the per-batch train_on_batch API pays one
+    # Python dispatch + one scalar-fetch round trip per batch, which on a
+    # remote-tunnel backend dwarfs the device step. These scan a whole
+    # epoch on chip and return stacked per-step losses in one fetch.
+    def run_epoch(self, state: HiddenState, covers, idx, msgs, key):
+        """covers (N,H,W,C) device-resident; idx (steps,B) i32;
+        msgs (steps,B,h,w,1). Returns (new_state, losses dict of
+        (steps,) arrays)."""
+        if self._epoch_fn is None:
+            if self._raw_train is None:
+                self._train_fn = self._build_train()
+            raw = self._raw_train
+
+            def epoch(state, covers, idx, msgs, key):
+                keys = jax.random.split(key, idx.shape[0])
+
+                def body(st, xs):
+                    ix, msg, k = xs
+                    st, losses, _ = raw(st, jnp.take(covers, ix, axis=0),
+                                        msg, k)
+                    return st, losses
+
+                return jax.lax.scan(body, state, (idx, msgs, keys))
+
+            self._epoch_fn = jax.jit(epoch, donate_argnums=(0,))
+        return self._epoch_fn(state, covers, jnp.asarray(idx),
+                              jnp.asarray(msgs), key)
+
+    def run_val_epoch(self, state: HiddenState, covers, idx, msgs, key):
+        """Validation sweep as one device program; state untouched."""
+        if self._vepoch_fn is None:
+            if self._raw_val is None:
+                self._val_fn = self._build_val()
+            raw = self._raw_val
+
+            def vepoch(state, covers, idx, msgs, key):
+                keys = jax.random.split(key, idx.shape[0])
+
+                def body(carry, xs):
+                    ix, msg, k = xs
+                    losses, _ = raw(state, jnp.take(covers, ix, axis=0),
+                                    msg, k)
+                    return carry, losses
+
+                _, losses = jax.lax.scan(body, 0, (idx, msgs, keys))
+                return losses
+
+            self._vepoch_fn = jax.jit(vepoch)
+        return self._vepoch_fn(state, covers, jnp.asarray(idx),
+                               jnp.asarray(msgs), key)
+
     def train_on_batch(self, state: HiddenState, batch, key=None):
         """batch = [images NHWC, messages NHWC]."""
         if self._train_fn is None:
