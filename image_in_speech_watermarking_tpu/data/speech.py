@@ -48,7 +48,13 @@ def synthetic_speech(length: int, seed: int = 0,
     env = 0.4 + 0.6 * np.clip(np.sin(2 * np.pi * 2.1 * t
                                      + rng.uniform(0, 6.28)), 0, None)
     sig = sig * env + 0.01 * rng.standard_normal(length)
-    return (0.1 * sig / np.abs(sig).max()).astype(np.float32)
+    # peak-normalize to 0.3 FS (speech-typical loudness, rms ~0.1: real
+    # TEDLIUM/LibriSpeech utterances peak ~0.3-0.9). The level matters:
+    # the reference's noise-norm loss term fixes the injected watermark
+    # energy in absolute units (audio_uformer_stft.py:463-482), so corpus
+    # loudness directly sets the watermark-SNR / attack-robustness
+    # operating point.
+    return (0.3 * sig / np.abs(sig).max()).astype(np.float32)
 
 
 def normalize_batch(data: jnp.ndarray, audio_scale: str):
