@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="compute dtype for matmuls/convs (MXU); norms, "
                         "softmax and the DFT stay f32")
+    p.add_argument("--featurize", default="256", choices=["256", "255"],
+                   help="training featurization geometry: '256' is the "
+                        "reference's SpeechDataTrain (n_fft 256 hop 128, "
+                        "drop 129th bin; the in-graph n_fft-255 channel "
+                        "sim is then inconsistent with the clip geometry "
+                        "— the reference quirk); '255' trains on the "
+                        "eval-chain geometry so the round trip is exact")
     p.add_argument("--robust_attacks", default="",
                    help="comma list of in-graph training attacks, e.g. "
                         "'closed_loop,awgn-15,amplitude_scaling-0.8'")
@@ -106,8 +113,9 @@ def main(argv=None) -> str:
 
     waves = data.load_corpus(args.dataset, args.size, split="train",
                              seed=args.seed)
-    ds = data.SpeechDataset(waves, kind="train",
-                            audio_scale=args.audio_scale)
+    ds = data.SpeechDataset(
+        waves, kind="train" if args.featurize == "256" else "train255",
+        audio_scale=args.audio_scale)
     steps = max(len(ds) // args.batch_size, 1)
     # epoch-keyed stream: makes --resume reproduce the uninterrupted run
     wm = lambda epoch: data.watermark_stream(  # noqa: E731

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_in_speech_watermarking_tpu.config import (
-    CLIP_FRAMES, SAMPLE_RATE, TRAIN_HOP, TRAIN_N_FFT, EVAL_N_FFT)
+    CLIP_FRAMES, EVAL_HOP, EVAL_N_FFT, SAMPLE_RATE, TRAIN_HOP,
+    TRAIN_N_FFT)
 from image_in_speech_watermarking_tpu.dsp.stft import (
     spec_to_clips, stft_ri)
 
@@ -116,6 +117,13 @@ class SpeechDataset:
 
     kind:
       'train'     n_fft 256 features (SpeechDataTrain)
+      'train255'  n_fft 255 whole-clip features: same geometry the eval
+                  reconstruction chain and the in-graph ISTFT->STFT
+                  channel sim use (model.py:2458 ISTFTs n_fft=255), so
+                  the training-time round trip is consistent. The
+                  reference trains on the 256-geometry and lets the
+                  stft_layer conv absorb the mismatch; this mode removes
+                  that quirk for production training.
       'train_aug' raw-wave store + random 128-frame STFT crops with an
                   optional transform (SpeechDataTrainAug,
                   uformerWM/audio_test.py:362-409; n_fft=255, no row drop)
@@ -148,16 +156,22 @@ class SpeechDataset:
         self.tails: List[int] = []
         self.last_rows: List[np.ndarray] = []
         for w in self.waves:
-            if self.kind == "train":
-                # trim to a 16384-sample grid: the featurization program
-                # is compiled per distinct length, and training only
-                # consumes whole clips anyway — a ragged corpus would
-                # otherwise trigger one compile per utterance
-                q = CLIP_FRAMES * TRAIN_HOP
+            if self.kind in ("train", "train255"):
+                # trim to a whole-clip sample grid: the featurization
+                # program is compiled per distinct length, and training
+                # only consumes whole clips anyway — a ragged corpus
+                # would otherwise trigger one compile per utterance
+                hop = TRAIN_HOP if self.kind == "train" else EVAL_HOP
+                q = CLIP_FRAMES * hop
                 w = w[: max(len(w) // q * q, q)]
             wj = jnp.asarray(w)
             if self.kind == "train":
                 feats.append(np.asarray(wave_to_train_clips(wj)))
+            elif self.kind == "train255":
+                c, tail = wave_to_eval_clips(wj)
+                if int(tail) < CLIP_FRAMES and c.shape[0] > 1:
+                    c = c[:-1]           # drop the zero-padded tail clip
+                feats.append(np.asarray(c))
             elif self.kind == "train_aug":
                 # full unchunked n_fft=255 spec; crops are sampled per
                 # batch (audio_test.py:400-406)
@@ -178,7 +192,7 @@ class SpeechDataset:
                 self.tails.append(int(tail))
             else:
                 raise ValueError(self.kind)
-        if self.kind == "train":
+        if self.kind in ("train", "train255"):
             data = np.concatenate(feats, axis=0)
             scaled, self.data_min, self.data_max = normalize_batch(
                 jnp.asarray(data), self.audio_scale)
@@ -192,7 +206,7 @@ class SpeechDataset:
 
     # train-mode API
     def __len__(self):
-        if self.kind == "train":
+        if self.kind in ("train", "train255"):
             return len(self.clips)
         if self.kind == "train_aug":
             return len(self.specs)
@@ -203,7 +217,7 @@ class SpeechDataset:
         if self.kind == "train_aug":
             yield from self._aug_batches(batch_size, seed)
             return
-        assert self.kind == "train"
+        assert self.kind in ("train", "train255")
         rng = np.random.default_rng(seed)
         idx = rng.permutation(len(self.clips))
         end = (len(idx) // batch_size) * batch_size if drop_last else len(idx)

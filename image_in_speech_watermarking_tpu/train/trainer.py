@@ -437,7 +437,8 @@ class Trainer:
         # tunnel-latency-bound). The corpus is pinned in HBM once; each
         # epoch is ONE dispatch + ONE stacked-metrics fetch.
         use_scan = (self.mesh.size == 1
-                    and getattr(dataset, "kind", "") == "train"
+                    and getattr(dataset, "kind", "")
+                    in ("train", "train255")
                     and getattr(dataset, "clips", None) is not None)
         clips_dev = None
         if use_scan:
