@@ -118,6 +118,7 @@ def main(argv=None):
                and len(val_covers) >= args.batch_size else None)
 
     key = jax.random.key(args.seed)
+    best_bitwise = None
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         nb = len(covers) // args.batch_size
@@ -149,6 +150,13 @@ def main(argv=None):
                          epoch, time.time() - tv)
             print(f"  val {epoch}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in vavg.items()))
+            # keep the shippable model: adversarial training oscillates
+            # late (the README-table runs are selected checkpoints, not
+            # blindly the final epoch)
+            if best_bitwise is None or vavg["bitwise-error"] < best_bitwise:
+                best_bitwise = vavg["bitwise-error"]
+                ckpt.save_tree(os.path.join(run_dir, "checkpoints", "best"),
+                               net.checkpoint_payload(state, epoch))
         ckpt.save_tree(os.path.join(run_dir, "checkpoints", "latest"),
                        net.checkpoint_payload(state, epoch))
     print(f"run folder: {run_dir}")
