@@ -159,8 +159,21 @@ class Trainer:
         wave = istft_ri(y, n_fft=mcfg.n_fft, hop_length=mcfg.hop_length)
         kpick, kapply = jax.random.split(rng)
         idx = jax.random.randint(kpick, (), 0, len(self.robust_attacks))
+        n = wave.shape[-1]
+
+        def fixlen(w):
+            # length-changing attacks (time/pitch scaling, resampling
+            # ratios) must stay shape-static inside lax.switch: crop or
+            # zero-pad back to the input length (the eval chain instead
+            # re-chunks on host, eval/pipeline.py)
+            w = w[..., :n]
+            pad = n - w.shape[-1]
+            if pad:
+                w = jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(0, pad)])
+            return w
+
         branches = [
-            (lambda fn: lambda w: fn(kapply, w))(get_attack(spec))
+            (lambda fn: lambda w: fixlen(fn(kapply, w)))(get_attack(spec))
             for spec in self.robust_attacks]
         wave_att = jax.lax.switch(idx, branches, wave)
         spec_att = stft_ri(wave_att, n_fft=mcfg.n_fft,
