@@ -28,6 +28,17 @@ Gradients: both public entry points are custom_vjp whose backward
 replays the mathematically identical jnp reference; the fused forward
 serves eval/bench/serve (and the fwd pass of training steps that keep
 drop_path at 0).
+
+STATUS (round 2, measured on a real v5e chip): PARKED, off by default.
+The kernels are numerically verified in interpret mode (tests), but on
+hardware Mosaic rejects the LeFF kernel's halo DMA — "Slice shape along
+dimension 3 must be aligned to tiling (128), but is 32": the level-0
+channel axis (embed_dim 32) is narrower than the 128-lane tile, so the
+sliced halo copy is unaligned. Making it compile needs the channel axis
+padded/folded to the lane tiling (e.g. (tokens, 32)->(tokens/4, 128)
+window packing) — roadmap work. Until then XLA's fusion is the
+production path (76 ms bf16 fwd at batch 32; no fused-kernel perf claim
+is made anywhere).
 """
 
 from __future__ import annotations
