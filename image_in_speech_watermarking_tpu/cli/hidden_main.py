@@ -68,12 +68,16 @@ def main(argv=None):
                         "pass (the hidden README table reports validation "
                         "losses + bitwise error, hidden/README.md:94-101); "
                         "0 disables")
+    p.add_argument("--adv_loss", default="bce", choices=["bce", "lsgan"],
+                   help="adversarial objective: 'bce' (reference parity) "
+                        "or 'lsgan' (saturation-free; stabilizes long "
+                        "noise-regime runs)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
     config = HiDDenConfig(message_length=args.message)
     noiser = parse_noise_config(args.noise)
-    net = Hidden(config, noiser=noiser)
+    net = Hidden(config, noiser=noiser, adv_loss=args.adv_loss)
 
     # data: time-domain clips as covers + digit watermarks as messages
     waves = data.load_corpus(args.dataset, args.size, seed=args.seed)

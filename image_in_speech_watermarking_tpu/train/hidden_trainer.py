@@ -50,13 +50,27 @@ def _bce_logits(logits, target):
         logits, jnp.full_like(logits, target)).mean()
 
 
+def _lsgan_logits(logits, target):
+    """Least-squares GAN objective (Mao et al. 2017): MSE on raw logits
+    vs the 0/1 target. Bounded and saturation-free — the BCE objective
+    explodes late in training once the discriminator saturates (observed
+    in the round-2 noise-regime runs: adversarial BCE 14->70 while val
+    bitwise error degraded 30x)."""
+    return jnp.mean((logits - target) ** 2)
+
+
 class Hidden:
     """Encoder/decoder + discriminator trainer (the reconstructed
     hidden/model/hidden.py)."""
 
     def __init__(self, config: HiDDenConfig = HiDDenConfig(),
                  noiser=None, lr: float = 1e-3,
-                 cover_channels: int = 1):
+                 cover_channels: int = 1, adv_loss: str = "bce"):
+        """``adv_loss``: 'bce' (reference parity) or 'lsgan'
+        (saturation-free; stabilizes long noise-regime runs)."""
+        assert adv_loss in ("bce", "lsgan"), adv_loss
+        self.adv_loss = adv_loss
+        self._gan = _bce_logits if adv_loss == "bce" else _lsgan_logits
         self.config = config
         self.noiser = noiser
         self.encoder_decoder = HiddenEncoderDecoder(
@@ -98,7 +112,7 @@ class Hidden:
     def _losses(self, cfg, image, message, encoded, decoded, g_logits):
         enc_mse = jnp.mean((encoded - image) ** 2)
         dec_mse = jnp.mean((decoded - message) ** 2)
-        g_bce = _bce_logits(g_logits, 1.0)  # generator wants "cover"
+        g_bce = self._gan(g_logits, 1.0)  # generator wants "cover"
         total = (cfg.encoder_loss * enc_mse + cfg.decoder_loss * dec_mse
                  + (cfg.adversarial_loss * g_bce
                     if cfg.use_discriminator else 0.0))
@@ -144,8 +158,8 @@ class Hidden:
                 logits_enc = self.discriminator.apply(
                     {"params": d_params, **(d_upd or d_stats)},
                     jax.lax.stop_gradient(encoded))
-                bce_cover = _bce_logits(logits_cover, 1.0)
-                bce_enc = _bce_logits(logits_enc, 0.0)
+                bce_cover = self._gan(logits_cover, 1.0)
+                bce_enc = self._gan(logits_enc, 0.0)
                 return bce_cover + bce_enc, (bce_cover, bce_enc, d_upd)
 
             (d_total, (bce_cover, bce_enc, d_upd)), d_grads = \
@@ -190,8 +204,8 @@ class Hidden:
             losses = {"loss": total, "encoder_mse": enc_mse,
                       "dec_mse": dec_mse, "bitwise-error": bitwise,
                       "adversarial_bce": g_bce,
-                      "discr_cover_bce": _bce_logits(logits_cover, 1.0),
-                      "discr_encod_bce": _bce_logits(g_logits, 0.0)}
+                      "discr_cover_bce": self._gan(logits_cover, 1.0),
+                      "discr_encod_bce": self._gan(g_logits, 0.0)}
             return losses, (encoded, noised, decoded)
 
         self._raw_val = step
