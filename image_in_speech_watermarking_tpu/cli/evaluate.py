@@ -52,9 +52,15 @@ def main(argv=None):
                    help="feature normalization used at train time "
                         "('0.025' or 'lo-hi'; min/max taken from the "
                         "train split like evaluate.py:322-334)")
+    p.add_argument("--stft_residual", action="store_true", default=True,
+                   help="channel-sim stft_layer form; must match the "
+                        "checkpoint's training run (see PARITY.md)")
+    p.add_argument("--no-stft_residual", dest="stft_residual",
+                   action="store_false")
     args = p.parse_args(argv)
 
-    model = models.get_arch(args.arch, embed_dim=args.embed_dim)
+    model = models.get_arch(args.arch, embed_dim=args.embed_dim,
+                            stft_residual=args.stft_residual)
     model_name = "modelA" if args.arch == "ModelA" else "uformer"
 
     msgs = data.digit_watermarks(8, seed=0) \

@@ -85,8 +85,11 @@ def main(argv=None):
     covers = np.concatenate(ds.per_utterance, axis=0)
     val_covers = None
     if args.val_size:
+        # offset=args.size: val utterances must start AFTER the train
+        # pool for single-pool corpora (librispeech), not at val_size
         val_waves = data.load_corpus(args.dataset, args.val_size,
-                                     split="val", seed=args.seed)
+                                     split="val", seed=args.seed,
+                                     offset=args.size)
         val_ds = data.SpeechDataset(val_waves, kind="audio")
         val_covers = np.concatenate(val_ds.per_utterance, axis=0)
     rng = np.random.default_rng(args.seed)
@@ -122,7 +125,17 @@ def main(argv=None):
                and len(val_covers) >= args.batch_size else None)
 
     key = jax.random.key(args.seed)
+    # re-derive the best validation bitwise error on resume so the first
+    # post-resume epoch can't clobber checkpoints/best with a worse model
     best_bitwise = None
+    if args.mode == "continue":
+        vcsv = os.path.join(run_dir, "validation.csv")
+        if os.path.exists(vcsv):
+            import csv as _csv
+            with open(vcsv) as f:
+                vals = [float(r["bitwise-error"])
+                        for r in _csv.DictReader(f) if "bitwise-error" in r]
+            best_bitwise = min(vals) if vals else None
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         nb = len(covers) // args.batch_size

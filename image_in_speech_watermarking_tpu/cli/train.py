@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default="-1",
                    help="mesh shape, e.g. '8' (dp) or '4,2' (dp,fsdp)")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--stft_residual", action="store_true", default=True,
+                   help="channel-sim stft_layer as a zero-init residual "
+                        "refinement (our default; see PARITY.md)")
+    p.add_argument("--no-stft_residual", dest="stft_residual",
+                   action="store_false",
+                   help="reference-parity plain conv stack "
+                        "(model.py:2465)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype for matmuls/convs (MXU); norms, "
@@ -107,7 +114,7 @@ def main(argv=None) -> str:
         args.arch, train_ps=args.train_ps, embed_dim=args.embed_dim,
         win_size=args.win_size, token_projection=args.token_projection,
         token_mlp=args.token_mlp, dd_in=args.dd_in,
-        compute_dtype=args.dtype,
+        compute_dtype=args.dtype, stft_residual=args.stft_residual,
         **({"use_remat": True} if args.remat
            and args.arch == "Uformer_audio" else {}))
 

@@ -62,6 +62,15 @@ class UformerConfig:
     # In-graph channel simulation STFT (model.py:2458-2463)
     n_fft: int = EVAL_N_FFT
     hop_length: int = EVAL_HOP
+    # stft_layer form. True (our default): zero-init residual refinement
+    # stft_new = spec + conv(spec) — starts at the exact ISTFT->STFT
+    # round trip instead of having to learn identity from random init
+    # (intentional deviation, see PARITY.md). False: the reference's
+    # plain conv stack stft_new = conv(spec) (model.py:2465). Param
+    # shapes are identical either way, so this flag — not the checkpoint
+    # tree — records which function a checkpoint computes; it is saved
+    # in each run's exp_config.json and must match at restore time.
+    stft_residual: bool = True
     # TPU compute dtype policy: matmuls/convs run in this dtype;
     # LayerNorm, softmax, the DFT and output projections stay f32.
     compute_dtype: str = "float32"

@@ -22,6 +22,7 @@ zero-egress environment.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Iterator, List, Optional, Tuple
 
 import jax
@@ -36,7 +37,8 @@ from image_in_speech_watermarking_tpu.dsp.stft import (
 
 
 def synthetic_speech(length: int, seed: int = 0,
-                     sr: int = SAMPLE_RATE) -> np.ndarray:
+                     sr: int = SAMPLE_RATE,
+                     peak: float = 0.3) -> np.ndarray:
     """Deterministic speech-like waveform: pitch-modulated harmonic
     excitation through a slowly-varying formant-ish filter + noise floor."""
     rng = np.random.default_rng(seed)
@@ -49,13 +51,16 @@ def synthetic_speech(length: int, seed: int = 0,
     env = 0.4 + 0.6 * np.clip(np.sin(2 * np.pi * 2.1 * t
                                      + rng.uniform(0, 6.28)), 0, None)
     sig = sig * env + 0.01 * rng.standard_normal(length)
-    # peak-normalize to 0.3 FS (speech-typical loudness, rms ~0.1: real
-    # TEDLIUM/LibriSpeech utterances peak ~0.3-0.9). The level matters:
-    # the reference's noise-norm loss term fixes the injected watermark
-    # energy in absolute units (audio_uformer_stft.py:463-482), so corpus
-    # loudness directly sets the watermark-SNR / attack-robustness
-    # operating point.
-    return (0.3 * sig / np.abs(sig).max()).astype(np.float32)
+    # peak-normalize (default 0.3 FS: speech-typical loudness, rms ~0.1;
+    # real TEDLIUM/LibriSpeech utterances peak ~0.3-0.9). The level
+    # matters: the reference's noise-norm loss term fixes the injected
+    # watermark energy in absolute units (audio_uformer_stft.py:463-482),
+    # so corpus loudness directly sets the watermark-SNR /
+    # attack-robustness operating point. NOTE: the default changed
+    # 0.1 -> 0.3 mid round 2 — round-1 / early-round-2 synthetic-corpus
+    # checkpoints and metrics sit at a different SNR operating point and
+    # are not comparable to later runs (see docs/round2_demo/README.md).
+    return (peak * sig / np.abs(sig).max()).astype(np.float32)
 
 
 def normalize_batch(data: jnp.ndarray, audio_scale: str):
@@ -212,8 +217,11 @@ class SpeechDataset:
             return len(self.specs)
         return len(self.per_utterance)
 
-    def batches(self, batch_size: int, seed: int = 0,
+    def batches(self, batch_size: int, seed=0,
                 drop_last: bool = True) -> Iterator[np.ndarray]:
+        """``seed`` may be an int or an entropy tuple like
+        ``(run_seed, epoch)`` (anything ``np.random.default_rng``
+        accepts)."""
         if self.kind == "train_aug":
             yield from self._aug_batches(batch_size, seed)
             return
@@ -260,11 +268,18 @@ class SpeechDataset:
 
 def load_corpus(dataset: str, size: int, split: str = "train",
                 seed: int = 42,
-                utt_seconds: float = 8.0) -> List[np.ndarray]:
+                utt_seconds: float = 8.0,
+                offset: int = None) -> List[np.ndarray]:
     """Load `size` utterances. 'tedlium'/'librispeech' use torchaudio if
     the files are on disk (SpeechDataTrain's sources,
     audio_test.py:410-432); 'synthetic' (default fallback) generates
-    deterministic speech-like waves."""
+    deterministic speech-like waves.
+
+    For librispeech (a single train-clean-100 pool) non-train splits
+    start at utterance index `offset`; callers MUST pass the TRAIN
+    corpus size there (not the val size) or validation overlaps
+    training data. TEDLIUM maps split 'val' onto its 'dev' subset (a
+    disjoint file set, so no offset is needed)."""
     if dataset in ("tedlium", "librispeech"):
         try:
             import torchaudio  # type: ignore
@@ -273,14 +288,20 @@ def load_corpus(dataset: str, size: int, split: str = "train",
                 ds = torchaudio.datasets.LIBRISPEECH(
                     root="data", url="train-clean-100", download=False)
             else:
+                subset = {"val": "dev"}.get(split, split)
                 ds = torchaudio.datasets.TEDLIUM(
-                    root="data", release="release2", subset=split,
+                    root="data", release="release2", subset=subset,
                     download=False)
-            base = 0 if split == "train" else size
+        except Exception as e:  # corpus not on disk
+            warnings.warn(
+                f"{dataset} corpus unavailable ({e!r}); falling back to "
+                f"the synthetic corpus for split={split!r}")
+        else:
+            base = 0
+            if dataset == "librispeech" and split != "train":
+                base = size if offset is None else offset
             return [np.asarray(ds[base + i][0][0], dtype=np.float32)
                     for i in range(size)]
-        except Exception:
-            pass  # fall through to synthetic
     base = seed if split == "train" else seed + 10_000
     n = int(utt_seconds * SAMPLE_RATE)
     return [synthetic_speech(n + 997 * i, seed=base + i) for i in range(size)]

@@ -245,17 +245,23 @@ class UformerAudio(nn.Module):
         self.encoder_wm = ConvAutoencoder(in_chans=1, name="encoder_wm")
         self.decoder_wm = EncoderTransformerWM(cfg, use_remat=self.use_remat,
                                                name="decoder_wm")
-        # stft_layer: conv 2->4 relu conv 4->2 (model.py:2305-2309),
-        # applied as a zero-init RESIDUAL refinement: stft_new = spec +
-        # conv(spec). The reference's plain stack must first learn the
-        # identity map from random init, which caps audio fidelity for
-        # most of training (measured: audio-MSE floor ~0.07 == ~4 dB
-        # waveform SNR after 70 epochs); the residual starts at the exact
-        # ISTFT->STFT round trip so the fidelity loss only has to shape
-        # the refinement.
+        # stft_layer: conv 2->4 relu conv 4->2 (model.py:2305-2309).
+        # cfg.stft_residual=True applies it as a zero-init RESIDUAL
+        # refinement: stft_new = spec + conv(spec). The reference's plain
+        # stack must first learn the identity map from random init, which
+        # caps audio fidelity for most of training (measured: audio-MSE
+        # floor ~0.07 == ~4 dB waveform SNR after 70 epochs); the residual
+        # starts at the exact ISTFT->STFT round trip so the fidelity loss
+        # only has to shape the refinement. cfg.stft_residual=False is
+        # reference parity (model.py:2465) with the reference's conv init.
+        # Param shapes are identical; the flag is recorded in run configs
+        # so a checkpoint restores onto the function it trained with.
+        res = self.cfg.stft_residual
         self.stft_conv1 = nn.Conv(4, (3, 3), padding=1, name="stft_layer_0")
         self.stft_conv2 = nn.Conv(cfg.in_chans, (3, 3), padding=1,
-                                  kernel_init=nn.initializers.zeros,
+                                  kernel_init=(nn.initializers.zeros if res
+                                               else nn.initializers
+                                               .lecun_normal()),
                                   name="stft_layer_2")
 
     def _bottleneck_dims(self) -> tuple[int, int]:
@@ -307,7 +313,8 @@ class UformerAudio(nn.Module):
         cfg = self.cfg
         audio = istft_ri(y, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
         spec = stft_ri(audio, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
-        return spec + self.stft_conv2(nn.relu(self.stft_conv1(spec)))
+        refined = self.stft_conv2(nn.relu(self.stft_conv1(spec)))
+        return spec + refined if cfg.stft_residual else refined
 
     def wm_decode(self, y: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         """Extract the watermark image from a (possibly attacked) clip

@@ -300,13 +300,16 @@ class Trainer:
 
         def epoch(state, clips, idx, msgs, rng):
             # idx (steps, B) i32; msgs (steps, B, 32, 32, 1)
-            keys = jax.random.split(rng, idx.shape[0])
-
+            # per-step key = fold_in(epoch_rng, step) — the same
+            # derivation the host loop uses, so scan and loop paths (and
+            # therefore --resume across them) are bit-identical
             def body(st, xs):
-                ix, msg, k = xs
+                i, ix, msg = xs
+                k = jax.random.fold_in(rng, i)
                 return raw(st, jnp.take(clips, ix, axis=0), msg, k)
 
-            return jax.lax.scan(body, state, (idx, msgs, keys))
+            steps = jnp.arange(idx.shape[0], dtype=jnp.uint32)
+            return jax.lax.scan(body, state, (steps, idx, msgs))
 
         self._epoch_fn = jax.jit(epoch, donate_argnums=(0,))
         return self._epoch_fn
@@ -468,8 +471,11 @@ class Trainer:
             if use_scan:
                 n = len(dataset.clips)
                 steps = max(n // cfg.batch_size, 1)
-                # same shuffle stream as dataset.batches(seed=epoch)
-                perm = np.random.default_rng(epoch).permutation(n)
+                # same shuffle stream as dataset.batches(seed=(seed,
+                # epoch)); cfg.seed folded in so --seed changes the
+                # batch order too, not just init/dropout
+                perm = np.random.default_rng(
+                    (cfg.seed, epoch)).permutation(n)
                 idx = perm[: steps * cfg.batch_size].astype(np.int32)
                 idx = idx.reshape(steps, cfg.batch_size)
                 msgs = np.stack([
@@ -490,11 +496,12 @@ class Trainer:
                                 for k, v in vals_all.items()}}) + "\n")
             else:
                 for i, batch in enumerate(
-                        dataset.batches(cfg.batch_size, seed=epoch)):
+                        dataset.batches(cfg.batch_size,
+                                        seed=(cfg.seed, epoch))):
                     message = next(wm_iter) if wm_iter else next(stream)
                     if i == 0:
                         fig_pair = (batch, message)
-                    rng, sub = jax.random.split(rng)
+                    sub = jax.random.fold_in(rng, i)
                     state, metrics = self.train_step(state, batch, message,
                                                      sub)
                     # Fetch scalars only every log_every steps (one
