@@ -123,3 +123,34 @@ def _has_init() -> bool:
 def reference_available() -> bool:
     import os
     return os.path.isdir(REFERENCE_ROOT)
+
+
+class torch_stft_compat:
+    """The reference targets the pre-1.8 real-format torch.stft/istft
+    (model.py:2458-2463 passes/expects (..., 2) real/imag tensors and
+    omits return_complex). Modern torch raises on both; this context
+    manager patches torch.stft/torch.istft to the legacy convention so
+    the reference forward runs unmodified."""
+
+    def __enter__(self):
+        import torch
+
+        self._torch = torch
+        self._stft, self._istft = torch.stft, torch.istft
+
+        def stft(x, n_fft, *a, **kw):
+            kw.setdefault("return_complex", True)
+            return torch.view_as_real(self._stft(x, n_fft, *a, **kw))
+
+        def istft(x, n_fft, *a, **kw):
+            if not torch.is_complex(x):
+                x = torch.view_as_complex(x.contiguous())
+            return self._istft(x, n_fft, *a, **kw)
+
+        torch.stft, torch.istft = stft, istft
+        return self
+
+    def __exit__(self, *exc):
+        self._torch.stft = self._stft
+        self._torch.istft = self._istft
+        return False
