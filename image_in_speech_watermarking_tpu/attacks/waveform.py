@@ -93,12 +93,15 @@ def awgn(key, wav: jnp.ndarray, snr: float = 15.0) -> jnp.ndarray:
     return wav + noise
 
 
-def resampling(key, wav: jnp.ndarray, fs: int = SAMPLE_RATE) -> jnp.ndarray:
-    """Down to fs/2 and back (audio_attack.py:72-85). Output trimmed/padded
-    to the input length (the 2x round trip preserves it exactly)."""
-    del key, fs
-    down = resample_poly(wav, 1, 2)
-    up = resample_poly(down, 2, 1)
+def resampling(key, wav: jnp.ndarray, fs: int = SAMPLE_RATE,
+               target_rate: int = SAMPLE_RATE // 2) -> jnp.ndarray:
+    """Down to ``target_rate`` (default fs/2, the reference's 16k->8k->16k,
+    audio_attack.py:72-85) and back. Output trimmed/padded to the input
+    length. ``"resampling-8000"`` dispatches the intermediate rate."""
+    del key
+    frac = fractions.Fraction(int(target_rate), int(fs)).limit_denominator(64)
+    down = resample_poly(wav, frac.numerator, frac.denominator)
+    up = resample_poly(down, frac.denominator, frac.numerator)
     L = wav.shape[-1]
     if up.shape[-1] >= L:
         return up[..., :L]
@@ -133,6 +136,20 @@ def jittering(key, wav: jnp.ndarray, jit_ratio: int = 1000) -> jnp.ndarray:
     keep_len = L - n_deleted
     pos = jnp.arange(L)
     return jnp.where(pos < keep_len, shifted, 0.0)
+
+
+def time_shift(key, wav: jnp.ndarray, max_shift: int = 1000) -> jnp.ndarray:
+    """Circular shift by a random offset in [-max_shift, max_shift].
+
+    Not in the reference battery — a TRAINING surrogate for clip
+    desynchronization: jittering-1000 (sample deletion) drifts the
+    extractor's 128-frame chunk grid by up to jit_ratio samples over an
+    utterance, and because every clip of an utterance carries the same
+    message, a decoder that tolerates arbitrary sub-clip shifts reads
+    drifted grids correctly. Differentiable w.r.t. the signal; the
+    offset itself is a (discrete) random variable like awgn's noise."""
+    shift = jax.random.randint(key, (), -max_shift, max_shift + 1)
+    return jnp.roll(wav, shift, axis=-1)
 
 
 def jittering_2(key, wav: jnp.ndarray, jit_ratio: int = 1000) -> jnp.ndarray:
@@ -252,8 +269,11 @@ def codec_sim(key, wav: jnp.ndarray, keep_frac: float = 0.9,
     return istft(spec, n_fft, window=w, length=wav.shape[-1])
 
 
-def aac(key, wav: jnp.ndarray) -> jnp.ndarray:
-    """AAC 128 kbps proxy (audio_attack.py:140-154)."""
+def aac(key, wav: jnp.ndarray, bitrate: str = "128k") -> jnp.ndarray:
+    """AAC proxy (audio_attack.py:140-154, pydub m4a 128k default).
+    ``"aac-64k"`` dispatches a lower-bitrate operating point."""
+    if str(bitrate).startswith("64"):
+        return codec_sim(key, wav, keep_frac=0.8, log_step=0.03)
     return codec_sim(key, wav, keep_frac=0.95, log_step=0.01)
 
 
@@ -280,6 +300,7 @@ ATTACKS: Dict[str, Callable] = {
     "requantization": requantization,
     "jittering": jittering,
     "jittering_2": jittering_2,
+    "time_shift": time_shift,
     "time_scaling": time_scaling,
     "pitch_scaling": pitch_scaling,
     "aac": aac,
@@ -289,10 +310,14 @@ ATTACKS: Dict[str, Callable] = {
 # attacks whose single dash-parameter maps to this kwarg (matching the
 # reference dispatch, audio_test.py:631-660)
 _PARAM_NAME = {
+    "echo_addition": ("aa", float),
+    "resampling": ("target_rate", int),
+    "aac": ("bitrate", str),
     "amplitude_scaling": ("factor", float),
     "awgn": ("snr", float),
     "jittering": ("jit_ratio", int),
     "jittering_2": ("jit_ratio", int),
+    "time_shift": ("max_shift", int),
     "time_scaling": ("scaling_factor", float),
     "pitch_scaling": ("scaling_factor", float),
     "mp3compress": ("compress_rate", str),

@@ -52,6 +52,10 @@ def main(argv=None):
                    help="feature normalization used at train time "
                         "('0.025' or 'lo-hi'; min/max taken from the "
                         "train split like evaluate.py:322-334)")
+    p.add_argument("--resync", action="store_true",
+                   help="blind resynchronization search before extraction "
+                        "(eval/sync.py): repairs the desync attacks "
+                        "(jittering / time / pitch scaling)")
     p.add_argument("--stft_residual", action="store_true", default=True,
                    help="channel-sim stft_layer form; must match the "
                         "checkpoint's training run (see PARITY.md)")
@@ -100,7 +104,8 @@ def main(argv=None):
         model_name=model_name, result_path=args.result_dir,
         use_host_codecs=args.use_host_codecs,
         audio_scale=args.audio_scale, data_min=data_min,
-        data_max=data_max, save_artifacts=args.save_artifacts)
+        data_max=data_max, save_artifacts=args.save_artifacts,
+        resync=args.resync)
     for r in results:
         print("Result on {set} set, attack: {attack}: Total clips: "
               "{clips}, MSE loss {mse:.6f}, WM loss: {wm:.6f}, WM loss "

@@ -40,7 +40,8 @@ def evaluate_split(model, variables, dataset, messages,
                    use_host_codecs: bool = False, seed: int = 0,
                    audio_scale: str = "0", data_min: float = 0.0,
                    data_max: float = 1.0,
-                   save_artifacts: int = 0) -> dict:
+                   save_artifacts: int = 0,
+                   resync: bool = False) -> dict:
     """Evaluate one attack over every utterance of a split
     (evaluate.py:174-293). ``save_artifacts``: dump the reference's
     per-utterance wav/png/watermark artifact set (evaluate.py:239-282)
@@ -54,7 +55,7 @@ def evaluate_split(model, variables, dataset, messages,
             model_name=model_name,
             attack_key=jax.random.key(seed + i),
             use_host_codecs=use_host_codecs, audio_scale=audio_scale,
-            data_min=data_min, data_max=data_max)
+            data_min=data_min, data_max=data_max, resync=resync)
         if result_path and i < save_artifacts:
             from image_in_speech_watermarking_tpu.eval import artifacts
 
@@ -92,7 +93,8 @@ def evaluate_model(model, variables, datasets: dict, messages,
                    use_host_codecs: bool = False,
                    audio_scale: str = "0", data_min: float = 0.0,
                    data_max: float = 1.0,
-                   save_artifacts: int = 0) -> list[dict]:
+                   save_artifacts: int = 0,
+                   resync: bool = False) -> list[dict]:
     """attack x {train, test} sweep (evaluate.py:369-380) + results.csv."""
     results = []
     for attack in attacks:
@@ -102,7 +104,8 @@ def evaluate_model(model, variables, datasets: dict, messages,
                 data_cat=data_cat, model_name=model_name,
                 result_path=result_path, use_host_codecs=use_host_codecs,
                 audio_scale=audio_scale, data_min=data_min,
-                data_max=data_max, save_artifacts=save_artifacts))
+                data_max=data_max, save_artifacts=save_artifacts,
+                resync=resync))
     if result_path:
         with open(os.path.join(result_path, "sample_result.txt")) as f:
             process_data_to_csv(f.read(),

@@ -146,12 +146,19 @@ def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
                       use_host_codecs: bool = False,
                       audio_scale: str = "0",
                       data_min: float = 0.0,
-                      data_max: float = 1.0) -> UtteranceResult:
+                      data_max: float = 1.0,
+                      resync: bool = False) -> UtteranceResult:
     """Full-utterance embed -> attack -> extract with the reference's
     metric set (audio_test.py:528-828). ``audio_scale``/``data_min``/
     ``data_max`` mirror the reference's feature-normalization plumbing
     (clips scaled before the model, outputs unscaled before ISTFT,
-    attacked clips rescaled before extraction)."""
+    attacked clips rescaled before extraction).
+
+    ``resync=True`` runs the blind resynchronization search (eval/sync.py)
+    before extraction: candidate inverse warps are scored by decoded-
+    watermark confidence and the winner's decodes are returned. Repairs
+    the desync attacks (jittering/time/pitch scaling) the fixed chunk
+    grid otherwise cannot read."""
     wave_np = np.asarray(wave, np.float32).reshape(-1)
     clips_np = np.asarray(clips)
     msg_j = jnp.asarray(message)
@@ -188,14 +195,23 @@ def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
                 wf.get_attack(attack)(attack_key, jnp.asarray(recon)))
 
     # ---- extract: pad the attacked wave to a length bucket ------------
-    att_len = len(att_audio)
-    att_pad = np.pad(att_audio, (0, _bucket(att_len, lo=16000) - att_len))
-    frames_att = num_frames(att_len, EVAL_N_FFT, EVAL_HOP)
-    n_att = -(-frames_att // CLIP_FRAMES)        # ceil: valid clip count
-    wm_att_all = _extract_jit(model, variables, jnp.asarray(att_pad),
+    def extract(wave_att: np.ndarray) -> np.ndarray:
+        att_len = len(wave_att)
+        pad = np.pad(wave_att, (0, _bucket(att_len, lo=16000) - att_len))
+        frames_att = num_frames(att_len, EVAL_N_FFT, EVAL_HOP)
+        n_att = -(-frames_att // CLIP_FRAMES)    # ceil: valid clip count
+        wm_all = _extract_jit(model, variables, jnp.asarray(pad),
                               model_name, audio_scale, float(data_min),
                               float(data_max))
-    wm_decoded_att = np.asarray(wm_att_all)[:n_att]
+        return np.asarray(wm_all)[:n_att]
+
+    if resync:
+        from image_in_speech_watermarking_tpu.eval import sync as _sync
+
+        _, wm_decoded_att, _, _ = _sync.best_candidate(
+            np.asarray(att_audio), length, extract)
+    else:
+        wm_decoded_att = extract(np.asarray(att_audio))
 
     audio_mse = M.mse(wave_np, recon)
     wm_mse = M.mse(wm_decoded, np.broadcast_to(

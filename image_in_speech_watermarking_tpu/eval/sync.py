@@ -1,0 +1,125 @@
+"""Extraction-side resynchronization for desynchronizing attacks.
+
+The extractor (like the reference's, audio_test.py:676-712) reads the
+attacked waveform on a fixed 128-frame STFT chunk grid, so attacks that
+warp the time base — jittering (sample deletion), time_scaling (phase-
+vocoder stretch), pitch_scaling (stretch + resample) — defeat it even
+though the watermark energy is still present (round-2 sweep: WM-MSE
+0.07-0.13 ≈ trivial-predictor level on those three rows).
+
+This module restores the grid BEFORE extraction, blindly:
+
+1. Length restore. If the received length differs from the embedded
+   length, the time base was warped globally; invert it. Near-unity
+   ratios (jitter deletions, a fraction of a percent) are corrected
+   with a linear-phase resample (pitch error negligible); larger ratios
+   (time_scaling 0.9/1.1) with the inverse phase-vocoder stretch, which
+   restores the spectral frame alignment the vocoder attack moved.
+2. Candidate dictionary. Warps that preserve length (pitch_scaling)
+   cannot be detected from the length; a small dictionary of inverse
+   warps (identity, pitch ∓6 st — the battery's operating points) is
+   tried and the winner chosen by a BLIND confidence score on the
+   decoded watermarks themselves:
+     - saturation: decoded glyphs/bit-images are sigmoid outputs that
+       sit near {0,1} when decoding locks; mean min(w, 1-w) measures it
+     - cross-clip agreement: every clip of an utterance carries the
+       SAME message, so the mean per-pixel variance across clips is a
+       decoder-independent lock indicator
+   Neither term uses the original audio or the true message.
+
+The reference has no equivalent (it simply fails on these rows); the
+sync search matches its grid-alignment architecture (audio_test.py:
+676-712) but repairs the grid first.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_in_speech_watermarking_tpu.attacks.waveform import (
+    pitch_scaling, time_stretch_wave)
+
+__all__ = ["resync_candidates", "confidence", "best_candidate"]
+
+
+def _linear_resample(wav: np.ndarray, out_len: int) -> np.ndarray:
+    """Linear-interp resample of a 1-D wave to ``out_len`` samples."""
+    L = wav.shape[-1]
+    pos = np.linspace(0.0, L - 1.0, out_len)
+    return np.interp(pos, np.arange(L), wav).astype(np.float32)
+
+
+def resync_candidates(att_audio: np.ndarray, expected_len: int,
+                      pitch_steps: Tuple[float, ...] = (6.0, -6.0),
+                      vocoder_threshold: float = 0.02
+                      ) -> List[Tuple[str, np.ndarray]]:
+    """Candidate re-aligned waveforms (name, wave), all ``expected_len``
+    samples. Always includes the raw (length-fixed) signal first."""
+    att = np.asarray(att_audio, np.float32).reshape(-1)
+    L = att.shape[-1]
+    cands: List[Tuple[str, np.ndarray]] = []
+
+    if L == expected_len:
+        cands.append(("identity", att))
+    else:
+        rate = L / float(expected_len)
+        if abs(rate - 1.0) < vocoder_threshold:
+            # small global drift (jitter deletions): linear resample —
+            # the implied pitch change is < 2 percent of a semitone-free
+            # ratio, far inside the decoder's tolerance
+            cands.append((f"resample[{rate:.4f}]",
+                          _linear_resample(att, expected_len)))
+        else:
+            # a real stretch: undo with the inverse phase vocoder so
+            # spectral frames (not just samples) realign
+            out = np.asarray(time_stretch_wave(jnp.asarray(att), rate))
+            out = _fix_len(out, expected_len)
+            cands.append((f"unstretch[{rate:.4f}]", out))
+            # fallback: plain resample (covers resample-style stretches)
+            cands.append((f"resample[{rate:.4f}]",
+                          _linear_resample(att, expected_len)))
+        # raw crop/pad candidate in case the length change was trimming
+        cands.append(("croppad", _fix_len(att, expected_len)))
+
+    for steps in pitch_steps:
+        # inverse of the battery's pitch_scaling(n_steps=-steps)
+        out = np.asarray(pitch_scaling(jax.random.key(0), jnp.asarray(
+            cands[0][1]), scaling_factor=float(steps)))
+        cands.append((f"pitch[{steps:+.0f}]", _fix_len(out, expected_len)))
+    return cands
+
+
+def _fix_len(wav: np.ndarray, n: int) -> np.ndarray:
+    wav = wav[..., :n]
+    if wav.shape[-1] < n:
+        wav = np.pad(wav, (0, n - wav.shape[-1]))
+    return wav.astype(np.float32)
+
+
+def confidence(decodes: np.ndarray) -> float:
+    """Blind lock score for per-clip watermark decodes (n, 32, 32, 1) —
+    lower is better. Saturation + cross-clip variance (see module doc)."""
+    w = np.asarray(decodes, np.float32)
+    saturation = float(np.mean(np.minimum(w, 1.0 - w)))
+    agreement = float(np.mean(np.var(w, axis=0))) if w.shape[0] > 1 else 0.0
+    return saturation + 2.0 * agreement
+
+
+def best_candidate(att_audio: np.ndarray, expected_len: int,
+                   extract_fn: Callable[[np.ndarray], np.ndarray],
+                   pitch_steps: Tuple[float, ...] = (6.0, -6.0),
+                   ) -> Tuple[np.ndarray, np.ndarray, str, float]:
+    """Run ``extract_fn`` (wave -> per-clip decodes) over the candidate
+    set and return (best_wave, best_decodes, candidate_name, score)."""
+    best = None
+    for name, wave in resync_candidates(att_audio, expected_len,
+                                        pitch_steps=pitch_steps):
+        dec = extract_fn(wave)
+        score = confidence(dec)
+        if best is None or score < best[3]:
+            best = (wave, dec, name, score)
+    return best
