@@ -63,12 +63,61 @@ def main():
 
     audio_sec = iters * BATCH * CLIP_SECONDS
     x_rt = audio_sec / dt
+    extra = _train_step_metrics()
     print(json.dumps({
         "metric": "embed_extract_throughput",
         "value": round(x_rt, 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 2),
+        "fwd_ms_batch32": round(dt / iters * 1e3, 1),
+        **extra,
     }))
+
+
+def _train_step_metrics() -> dict:
+    """Flagship train-step wall time + MFU (ROADMAP #8): flops from
+    XLA cost analysis of the actual lowered step (remat recompute
+    included — executed flops, which is what MFU means), peak 197
+    TFLOP/s bf16 (TPU v5e)."""
+    import dataclasses
+
+    from image_in_speech_watermarking_tpu import data, models
+    from image_in_speech_watermarking_tpu.config import TrainConfig
+    from image_in_speech_watermarking_tpu.train import Trainer
+    from image_in_speech_watermarking_tpu.utils import flops as F
+
+    try:
+        batch_size = 16
+        cfg = TrainConfig(arch="Uformer_audio", batch_size=batch_size,
+                          dtype="bfloat16", remat=True,
+                          mesh_shape=(-1,), mesh_axes=("data",))
+        model = models.get_arch("Uformer_audio",
+                                compute_dtype="bfloat16", use_remat=True)
+        trainer = Trainer(model, cfg, steps_per_epoch=100)
+        rng = np.random.default_rng(1)
+        batch = jnp.asarray(rng.standard_normal(
+            (batch_size, 128, 128, 2)).astype(np.float32) * 0.1)
+        msg = jnp.asarray(rng.uniform(
+            size=(batch_size, 32, 32, 1)).astype(np.float32))
+        state = trainer.init_state(batch, msg)
+        key = jax.random.key(0)
+        state, m = trainer.train_step(state, batch, msg, key)  # compile
+        jax.block_until_ready(m)
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = trainer.train_step(state, batch, msg, key)
+        jax.block_until_ready(m)
+        step_ms = (time.perf_counter() - t0) / iters * 1e3
+        if trainer._step_fn is None:            # pragma: no cover
+            return {"train_step_ms": round(step_ms, 1)}
+        prof = F.profile_fn(trainer._step_fn, state, batch, msg, key)
+        mfu = prof["flops"] / (step_ms * 1e-3) / 197e12
+        return {"train_step_ms": round(step_ms, 1),
+                "train_step_tflops": round(prof["flops"] / 1e12, 2),
+                "train_mfu_bf16": round(mfu, 3)}
+    except Exception as e:                      # pragma: no cover
+        return {"train_step_error": f"{type(e).__name__}: {e}"[:200]}
 
 
 if __name__ == "__main__":

@@ -118,11 +118,20 @@ def main(argv=None) -> str:
         **({"use_remat": True} if args.remat
            and args.arch == "Uformer_audio" else {}))
 
-    waves = data.load_corpus(args.dataset, args.size, split="train",
-                             seed=args.seed)
-    ds = data.SpeechDataset(
-        waves, kind="train" if args.featurize == "256" else "train255",
-        audio_scale=args.audio_scale)
+    if args.dataset == "imagenet":
+        # image-cover mode (audio_uformer_stft.py:150-204): 128x128
+        # ImageNet-normalized RGB crops as covers; pick an arch with
+        # 3-channel input (e.g. --dd_in 3)
+        from image_in_speech_watermarking_tpu.data.imagenet import (
+            ImageCoverDataset)
+
+        ds = ImageCoverDataset(size=args.size, seed=args.seed)
+    else:
+        waves = data.load_corpus(args.dataset, args.size, split="train",
+                                 seed=args.seed)
+        ds = data.SpeechDataset(
+            waves, kind="train" if args.featurize == "256" else "train255",
+            audio_scale=args.audio_scale)
     steps = max(len(ds) // args.batch_size, 1)
     # epoch-keyed stream: makes --resume reproduce the uninterrupted run
     wm = lambda epoch: data.watermark_stream(  # noqa: E731

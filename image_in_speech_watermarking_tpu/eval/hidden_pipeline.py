@@ -1,11 +1,14 @@
-"""HiDDeN-flavor whole-utterance evaluation (time-domain and DWT modes).
+"""HiDDeN-flavor whole-utterance evaluation (audio, DWT and STFT modes).
 
 Parity target: hidden/audio_test.py:397-680 ``reconstruct_audio``:
   per clip: net.validate_on_batch([clip, msg]) -> encoded clips; concat
-  samples (audio mode) or IDWT (dwt mode) back to a waveform; apply one
-  named attack; re-chunk; encoder_decoder.decoder per chunk; MSE + SNR.
+  samples (audio mode), IDWT (dwt mode) or ISTFT n_fft=255 (stft mode,
+  2-ch real/imag clips from SpeechDataTest, audio_test.py:203-239,457)
+  back to a waveform; apply one named attack; re-chunk;
+  encoder_decoder.decoder per chunk; MSE + SNR.
 The empirical 0.025 scale / x40 inverse (hidden/audio_test.py:45,430,548)
-is applied around the waveform reconstruction.
+is applied around the waveform reconstruction. stft mode requires a
+``Hidden`` built with cover_channels=2.
 
 Note on dwt mode: the reference's dwt re-chunk branch is dead code as
 written (it reshapes a (2, 128^2) slice into (1, 128, 128) — a size
@@ -57,21 +60,45 @@ def _chunk_1d(sig: jnp.ndarray):
 
 def _featurize(wav: jnp.ndarray, data_mode: str):
     """waveform -> (clips, tail, coeff_len). coeff_len is the pre-pad
-    feature-stream length (dwt mode needs it for reconstruction)."""
+    feature-stream length: samples (audio), dwt coefficients (dwt) or
+    spectral frames (stft)."""
     if data_mode == "audio":
         sig = wav * _SCALE
     elif data_mode == "dwt":
         ca, cd = dwtmod.dwt(wav * _SCALE)
         sig = jnp.concatenate([ca, cd], axis=-1)
+    elif data_mode == "stft":
+        # n_fft=255 2-ch real/imag clips scaled x0.025
+        # (hidden/audio_test.py:203-226: SpeechDataTest with
+        # frequency*2-1 = 255, len_clip=128, audio_scale 0.025)
+        from image_in_speech_watermarking_tpu.dsp.stft import stft_ri
+
+        spec = stft_ri(wav, 255) * _SCALE          # (128, T, 2)
+        t = spec.shape[1]
+        pad = (-t) % CLIP_FRAMES
+        spec = jnp.pad(spec, ((0, 0), (0, pad), (0, 0)))
+        clips = spec.reshape(128, -1, CLIP_FRAMES, 2).transpose(1, 0, 2, 3)
+        tail = t % CLIP_FRAMES or CLIP_FRAMES
+        return clips, tail, t
     else:
         raise ValueError(data_mode)
     clips, tail = _chunk_1d(sig)
     return clips, tail, sig.shape[-1]
 
 
-def _defeaturize(flat: jnp.ndarray, coeff_len: int, out_len: int,
+def _defeaturize(encoded: jnp.ndarray, coeff_len: int, out_len: int,
                  data_mode: str) -> jnp.ndarray:
-    stream = flat[:coeff_len]
+    """Encoded clips -> waveform (the concat + inverse-transform half of
+    hidden/audio_test.py:440-470)."""
+    if data_mode == "stft":
+        from image_in_speech_watermarking_tpu.dsp.stft import istft_ri
+
+        n = encoded.shape[0]
+        spec = encoded.transpose(1, 0, 2, 3).reshape(128, -1, 2)
+        mask = jnp.arange(n * CLIP_FRAMES) < coeff_len
+        return istft_ri(spec, n_fft=255, length=out_len,
+                        frame_mask=mask) / _SCALE
+    stream = encoded.reshape(-1)[:coeff_len]
     if data_mode == "audio":
         recon = stream / _SCALE
     else:
@@ -101,8 +128,7 @@ def reconstruct_audio_hidden(net, state, wave, message,
     variables = state.enc_dec
     encoded, _, decoded = net.encoder_decoder.apply(variables, clips, msg)
 
-    recon = _defeaturize(encoded.reshape(-1), coeff_len,
-                         wave_j.shape[-1], data_mode)
+    recon = _defeaturize(encoded, coeff_len, wave_j.shape[-1], data_mode)
 
     if attack_key is None:
         attack_key = jax.random.key(0)

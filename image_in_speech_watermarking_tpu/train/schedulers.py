@@ -35,3 +35,58 @@ def step_lr(lr: float, step_epochs: int, gamma: float,
     return optax.exponential_decay(
         init_value=lr, transition_steps=step_epochs * steps_per_epoch,
         decay_rate=gamma, staircase=True)
+
+
+class WarmupReduceLROnPlateau:
+    """Linear warmup -> ReduceLROnPlateau, the reference's metric-driven
+    after-scheduler mode (warmup_scheduler/scheduler.py:40-63 +
+    torch.optim.lr_scheduler.ReduceLROnPlateau defaults: mode='min',
+    factor=0.1, patience=10, relative threshold 1e-4).
+
+    Metric-driven schedules cannot be a pure step->lr optax function;
+    this is the host-side epoch controller: call ``step(metric)`` once
+    per epoch and feed ``lr`` to an ``optax.inject_hyperparams``
+    optimizer (or scale gradients by lr directly). During the warmup
+    epochs the lr ramps multiplier-style like GradualWarmupScheduler's
+    step_ReduceLROnPlateau branch; afterwards it is cut by ``factor``
+    when the metric hasn't improved for ``patience`` epochs."""
+
+    def __init__(self, lr: float, warmup_epochs: int = 3,
+                 multiplier: float = 1.0, factor: float = 0.1,
+                 patience: int = 10, threshold: float = 1e-4,
+                 min_lr: float = 0.0):
+        assert multiplier >= 1.0, "multiplier should be >= 1 (reference)"
+        self.base_lr = lr
+        self.warmup_epochs = warmup_epochs
+        self.multiplier = multiplier
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.epoch = 0
+        self.lr = lr if warmup_epochs == 0 else (
+            lr * ((multiplier - 1.0) / warmup_epochs + 1.0)
+            if multiplier > 1.0 else lr / warmup_epochs)
+
+    def step(self, metric: float) -> float:
+        """Advance one epoch with the validation metric; returns the lr
+        to use for the NEXT epoch."""
+        self.epoch += 1
+        if self.epoch <= self.warmup_epochs:
+            t = self.epoch / self.warmup_epochs
+            self.lr = self.base_lr * ((self.multiplier - 1.0) * t + 1.0) \
+                if self.multiplier > 1.0 else self.base_lr * t
+            # plateau tracking starts fresh after warmup
+            self.best = min(self.best, metric)
+            return self.lr
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr

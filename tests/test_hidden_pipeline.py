@@ -1,4 +1,4 @@
-"""HiDDeN whole-utterance eval chain (audio + dwt modes)."""
+"""HiDDeN whole-utterance eval chain (audio + dwt + stft modes)."""
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +18,30 @@ def net_state():
     msg = jnp.zeros((1, 32, 32, 1))
     state = net.init_state(jax.random.key(0), img, msg)
     return net, state
+
+
+@pytest.fixture(scope="module")
+def net_state_2ch():
+    """2-channel cover nets for the stft mode (real/imag clips,
+    hidden/audio_test.py:203-239)."""
+    net = Hidden(cover_channels=2)
+    img = jnp.zeros((1, 128, 128, 2))
+    msg = jnp.zeros((1, 32, 32, 1))
+    state = net.init_state(jax.random.key(0), img, msg)
+    return net, state
+
+
+def test_reconstruct_chain_stft(net_state_2ch):
+    net, state = net_state_2ch
+    wave = data.synthetic_speech(40000, seed=3)
+    msg = data.digit_watermarks(1, seed=2)
+    r = reconstruct_audio_hidden(net, state, wave, msg,
+                                 attack="awgn-15", data_mode="stft")
+    assert r.recon_audio.shape == (40000,)
+    assert r.decoded.shape[1:] == (32, 32, 1)
+    assert r.decoded_att.shape[1:] == (32, 32, 1)
+    assert np.isfinite([r.audio_mse, r.wm_mse, r.wm_mse_att,
+                        r.bitwise_err_att]).all()
 
 
 @pytest.mark.parametrize("mode", ["audio", "dwt"])
@@ -42,9 +66,8 @@ def test_identity_encoder_roundtrip(net_state):
     from image_in_speech_watermarking_tpu.eval import hidden_pipeline as hp
 
     wave = jnp.asarray(data.synthetic_speech(50000, seed=4))
-    for mode in ("audio", "dwt"):
+    for mode in ("audio", "dwt", "stft"):
         clips, tail, coeff_len = hp._featurize(wave, mode)
-        recon = hp._defeaturize(clips.reshape(-1), coeff_len,
-                                wave.shape[-1], mode)
+        recon = hp._defeaturize(clips, coeff_len, wave.shape[-1], mode)
         np.testing.assert_allclose(np.asarray(recon), np.asarray(wave),
                                    atol=5e-4)

@@ -305,3 +305,33 @@ def test_async_checkpoint_roundtrip(tmp_path):
     assert int(back["epoch"]) == 3 and int(back["step"]) == 7
     np.testing.assert_allclose(np.asarray(back["params"]["w"]),
                                np.arange(6.0).reshape(2, 3))
+
+
+def test_warmup_reduce_lr_on_plateau():
+    from image_in_speech_watermarking_tpu.train.schedulers import (
+        WarmupReduceLROnPlateau)
+
+    s = WarmupReduceLROnPlateau(lr=1.0, warmup_epochs=2, patience=1,
+                                factor=0.5)
+    assert s.step(1.0) == 0.5          # warmup epoch 1: lr * 1/2
+    assert s.step(0.9) == 1.0          # warmup done
+    assert s.step(0.5) == 1.0          # improvement, hold
+    assert s.step(0.5) == 1.0          # bad epoch 1 (<= patience), hold
+    assert s.step(0.5) == 0.5          # bad epoch 2 > patience: cut
+    assert s.step(0.4) == 0.5          # improvement again, hold
+
+
+def test_imagenet_cover_dataset_synthetic_fallback():
+    from image_in_speech_watermarking_tpu.data.imagenet import (
+        ImageCoverDataset, _MEAN, _STD)
+
+    ds = ImageCoverDataset(size=6, seed=0, root="/nonexistent")
+    assert ds.clips.shape == (6, 128, 128, 3)
+    b = next(ds.batches(4, seed=1))
+    assert b.shape == (4, 128, 128, 3)
+    # normalized range: un-normalized values must be inside [0, 1]
+    un = b * _STD + _MEAN
+    assert un.min() >= -1e-5 and un.max() <= 1.0 + 1e-5
+    # deterministic
+    ds2 = ImageCoverDataset(size=6, seed=0, root="/nonexistent")
+    np.testing.assert_array_equal(ds.clips, ds2.clips)
