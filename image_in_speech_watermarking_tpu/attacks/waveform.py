@@ -270,19 +270,21 @@ def codec_sim(key, wav: jnp.ndarray, keep_frac: float = 0.9,
 
 
 def aac(key, wav: jnp.ndarray, bitrate: str = "128k") -> jnp.ndarray:
-    """AAC proxy (audio_attack.py:140-154, pydub m4a 128k default).
+    """AAC proxy (audio_attack.py:140-154, pydub m4a 128k default):
+    psychoacoustic masking-threshold quantizer (attacks/codec.py).
     ``"aac-64k"`` dispatches a lower-bitrate operating point."""
-    if str(bitrate).startswith("64"):
-        return codec_sim(key, wav, keep_frac=0.8, log_step=0.03)
-    return codec_sim(key, wav, keep_frac=0.95, log_step=0.01)
+    from image_in_speech_watermarking_tpu.attacks.codec import codec_attack
+
+    return codec_attack(key, wav, codec="aac", bitrate=bitrate)
 
 
 def mp3compress(key, wav: jnp.ndarray,
                 compress_rate: str = "64k") -> jnp.ndarray:
-    """MP3 64k/128k proxy (audio_attack.py:242-257)."""
-    if str(compress_rate).startswith("64"):
-        return codec_sim(key, wav, keep_frac=0.6, log_step=0.05)
-    return codec_sim(key, wav, keep_frac=0.85, log_step=0.02)
+    """MP3 64k/128k proxy (audio_attack.py:242-257): psychoacoustic
+    masking-threshold quantizer (attacks/codec.py)."""
+    from image_in_speech_watermarking_tpu.attacks.codec import codec_attack
+
+    return codec_attack(key, wav, codec="mp3", bitrate=compress_rate)
 
 
 # ---------------------------------------------------------------------------

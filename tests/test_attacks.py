@@ -248,3 +248,50 @@ def test_noiser_switch_and_parse():
     outs = [np.asarray(noiser(jax.random.key(s), noised, cover))
             for s in range(8)]
     assert len({float(np.abs(o).sum()) for o in outs}) > 1
+
+
+def test_psychoacoustic_codec_properties():
+    """attacks/codec.py: masking-threshold quantizer sanity — distortion
+    grows monotonically with quantizer scale, vanishes as quality -> 0,
+    the band cutoff removes HF, and gradients flow (straight-through)."""
+    from image_in_speech_watermarking_tpu.attacks import codec
+
+    x = jnp.asarray(_wav(32000))
+    prev = 0.0
+    for q in (0.1, 1.0, 3.0):
+        y = np.asarray(codec.psychoacoustic_codec(KEY, x, quality=q))
+        err = float(np.abs(y - np.asarray(x)).mean())
+        assert err > prev, (q, err, prev)
+        prev = err
+    # near-lossless at tiny quality
+    y0 = np.asarray(codec.psychoacoustic_codec(KEY, x, quality=1e-3))
+    assert np.abs(y0 - np.asarray(x)).mean() < 1e-4
+
+    # cutoff removes high frequencies
+    yc = np.asarray(codec.psychoacoustic_codec(KEY, x, quality=1e-3,
+                                               cutoff_hz=2000.0))
+    spec = np.abs(np.fft.rfft(yc))
+    freqs = np.fft.rfftfreq(len(yc), d=1 / 16000)
+    hf = spec[freqs > 2600].sum() / (spec.sum() + 1e-9)
+    assert hf < 0.01
+
+    # differentiable: grad of output energy w.r.t. input is finite
+    g = jax.grad(lambda w: jnp.sum(
+        codec.psychoacoustic_codec(KEY, w, quality=1.0) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_codec_bitrate_ladder():
+    """64k points distort more than 128k; aac@128k sits at the anchor
+    ratio vs awgn-15 (docs/CODEC_CALIBRATION.md)."""
+    x = jnp.asarray(_wav(48000))
+
+    def d(spec):
+        y = np.asarray(get_attack(spec)(KEY, x))
+        return float(np.abs(y - np.asarray(x)).mean())
+
+    assert d("aac-64k") > d("aac") * 1.5
+    assert d("mp3compress-64k") > d("mp3compress-128k") * 1.5
+    ratio = d("aac") / d("awgn-15")
+    assert 0.06 < ratio < 0.25, ratio   # anchor 0.127
