@@ -311,7 +311,21 @@ class Trainer:
             steps = jnp.arange(idx.shape[0], dtype=jnp.uint32)
             return jax.lax.scan(body, state, (steps, idx, msgs))
 
-        self._epoch_fn = jax.jit(epoch, donate_argnums=(0,))
+        if self.mesh.size > 1:
+            # sharded device-resident epochs: the corpus is pinned
+            # replicated, the per-step index matrix and message stream
+            # are dp-sharded on the batch dim, so each device gathers
+            # only its batch shard locally; XLA inserts the grad
+            # collectives exactly as in the per-step path
+            mesh = self.mesh
+            dsh = NamedSharding(mesh, P(None, "data"))
+            self._epoch_fn = jax.jit(
+                epoch,
+                in_shardings=(None, NamedSharding(mesh, P()), dsh, dsh,
+                              None),
+                donate_argnums=(0,))
+        else:
+            self._epoch_fn = jax.jit(epoch, donate_argnums=(0,))
         return self._epoch_fn
 
     def train_step(self, state: TrainState, batch, message,
@@ -448,17 +462,22 @@ class Trainer:
                 json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
             log_f = open(os.path.join(result_dir, "exp_loss.jsonl"), "a")
 
-        # Device-resident epochs: single-device training scans the whole
-        # epoch on chip (see _build_epoch_fn — the per-step host loop was
-        # tunnel-latency-bound). The corpus is pinned in HBM once; each
-        # epoch is ONE dispatch + ONE stacked-metrics fetch.
-        use_scan = (self.mesh.size == 1
-                    and getattr(dataset, "kind", "")
+        # Device-resident epochs: scan the whole epoch on chip (see
+        # _build_epoch_fn — the per-step host loop was tunnel-latency-
+        # bound). The corpus is pinned in HBM once (replicated on a
+        # multi-device mesh; batch gathers are dp-sharded); each epoch is
+        # ONE dispatch + ONE stacked-metrics fetch.
+        use_scan = (getattr(dataset, "kind", "")
                     in ("train", "train255")
                     and getattr(dataset, "clips", None) is not None)
         clips_dev = None
         if use_scan:
-            clips_dev = jax.device_put(np.asarray(dataset.clips))
+            if self.mesh.size > 1:
+                clips_dev = jax.device_put(
+                    np.asarray(dataset.clips),
+                    NamedSharding(self.mesh, P()))
+            else:
+                clips_dev = jax.device_put(np.asarray(dataset.clips))
             if self._epoch_fn is None:
                 self._build_epoch_fn()
 

@@ -56,3 +56,16 @@ def test_cal_pesq_never_nan(ref):
 def test_too_short_raises():
     with pytest.raises(ValueError):
         pesq_numpy(np.zeros(100), np.zeros(100))
+
+
+def test_awgn_operating_points_match_published_curves(ref):
+    """docs/PESQ_VALIDATION.md: the AWGN curve sits inside the spread of
+    published speech+white-noise raw-PESQ curves (loose +/-0.5 bars)."""
+    rng = np.random.default_rng(7)
+    expected = {30: (3.8, 4.5), 20: (3.2, 4.2), 10: (2.3, 3.2),
+                5: (1.7, 2.6)}
+    p = np.mean(ref ** 2)
+    for snr, (lo, hi) in expected.items():
+        noise = rng.standard_normal(len(ref)) * np.sqrt(p / 10 ** (snr / 10))
+        score = pesq_numpy(ref, ref + noise)
+        assert lo <= score <= hi, (snr, score)
