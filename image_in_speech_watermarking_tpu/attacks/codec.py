@@ -49,8 +49,10 @@ _SPREAD_DB_PER_BAND = 15.0
 _SMR_DB = 30.0
 
 
-def _hann(n: int) -> jnp.ndarray:
-    return jnp.asarray(np.hanning(n + 1)[:n].astype(np.float32))
+def _hann(n: int) -> np.ndarray:
+    # numpy (not jnp): dsp.stft materializes the window host-side, so it
+    # must stay a concrete constant under jit tracing
+    return np.hanning(n + 1)[:n].astype(np.float32)
 
 
 @functools.lru_cache()
@@ -68,8 +70,9 @@ def _band_matrices(n_bins: int, sr: int = SAMPLE_RATE):
     # spreading matrix over bands: 10^(-|i-j| * slope / 10)
     ij = np.abs(np.arange(_N_BANDS)[:, None] - np.arange(_N_BANDS)[None])
     spread = (10.0 ** (-ij * _SPREAD_DB_PER_BAND / 10.0)).astype(np.float32)
-    return (jnp.asarray(agg), jnp.asarray(agg / width),
-            jnp.asarray(spread))
+    # numpy constants: this is lru_cached, so jnp arrays created inside
+    # a jit trace would leak tracers into later traces
+    return agg, (agg / width).astype(np.float32), spread
 
 
 def psychoacoustic_codec(key, wav: jnp.ndarray, quality: float = 1.0,

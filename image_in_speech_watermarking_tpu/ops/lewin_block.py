@@ -287,11 +287,16 @@ def make_mod_band(mod, win: int, w: int, band: int, c: int,
 
 def _leff_kernel(x_any, lns_ref, lnb_ref, w1_ref, b1_ref, wdw_ref,
                  bdw_ref, w2_ref, b2_ref, out_ref, xs, sem, *,
-                 band: int, approx_gelu: bool):
+                 band: int, w: int, c: int, approx_gelu: bool):
     bi = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
-    _, hh, w, c = x_any.shape
+    # x_any is LANE-PACKED (b, H, w*c//128, 128): the round-2 Mosaic
+    # reject was the halo DMA's 32-wide lane axis ("slice shape along
+    # dimension 3 must be aligned to tiling (128)"); folding 128//c
+    # consecutive tokens into the lane axis makes every manual DMA
+    # 128-lane aligned, and the (g,128)->(w,c) unpack happens in VMEM.
+    g = x_any.shape[2]
     hid = w1_ref.shape[1]
 
     # ---- halo DMA: rows [j*band-1, (j+1)*band] clamped, zeros at edges
@@ -307,7 +312,7 @@ def _leff_kernel(x_any, lns_ref, lnb_ref, w1_ref, b1_ref, wdw_ref,
 
     @pl.when(j == 0)
     def _():
-        xs[0:1] = jnp.zeros((1, w, c), xs.dtype)
+        xs[0:1] = jnp.zeros((1, g, 128), xs.dtype)
 
     @pl.when(j < nj - 1)
     def _():
@@ -317,7 +322,7 @@ def _leff_kernel(x_any, lns_ref, lnb_ref, w1_ref, b1_ref, wdw_ref,
 
     @pl.when(j == nj - 1)
     def _():
-        xs[band + 1:band + 2] = jnp.zeros((1, w, c), xs.dtype)
+        xs[band + 1:band + 2] = jnp.zeros((1, g, 128), xs.dtype)
 
     pltpu.make_async_copy(x_any.at[bi, pl.ds(j * band, band)],
                           xs.at[pl.ds(1, band)], sem.at[0]).wait()
@@ -332,7 +337,7 @@ def _leff_kernel(x_any, lns_ref, lnb_ref, w1_ref, b1_ref, wdw_ref,
         pltpu.make_async_copy(x_any.at[bi, pl.ds((j + 1) * band, 1)],
                               xs.at[pl.ds(band + 1, 1)], sem.at[2]).wait()
 
-    x = xs[:]                                     # (band+2, W, C)
+    x = xs[:].reshape(band + 2, w, c)             # VMEM lane unpack
     compute_dtype = x.dtype
     y = _layernorm(x.reshape((band + 2) * w, c), lns_ref[:], lnb_ref[:])
     h1 = jax.lax.dot_general(
@@ -361,7 +366,7 @@ def _leff_kernel(x_any, lns_ref, lnb_ref, w1_ref, b1_ref, wdw_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out = out + b2_ref[:].astype(jnp.float32)
-    res = xs[1:band + 1].reshape(band * w, c).astype(jnp.float32)
+    res = x[1:band + 1].reshape(band * w, c).astype(jnp.float32)
     out_ref[0] = (res + out).reshape(band, w, c).astype(out_ref.dtype)
 
 
@@ -374,7 +379,11 @@ def _leff_call(x, lns, lnb, w1, b1, wdw, bdw, w2, b2, *, h: int, w: int,
     band = h
     while band > 8 and (band + 2) * w * hid * 4 * 3 > 6 * 1024 * 1024:
         band //= 2
-    ximg = x.reshape(b, h, w, c)
+    # lane-pack the token rows: (h, w, c) -> (h, w*c//128, 128) so the
+    # manual halo DMAs are 128-lane aligned (see kernel comment)
+    assert (w * c) % 128 == 0, (w, c)
+    g = (w * c) // 128
+    ximg = x.reshape(b, h, g, 128)
     grid = (b, h // band)
     kwargs = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
@@ -384,7 +393,7 @@ def _leff_call(x, lns, lnb, w1, b1, wdw, bdw, w2, b2, *, h: int, w: int,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=2 * b * l * hid))
     out = pl.pallas_call(
-        functools.partial(_leff_kernel, band=band,
+        functools.partial(_leff_kernel, band=band, w=w, c=c,
                           approx_gelu=approx_gelu),
         grid=grid,
         in_specs=[
@@ -407,7 +416,7 @@ def _leff_call(x, lns, lnb, w1, b1, wdw, bdw, w2, b2, *, h: int, w: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((band + 2, w, c), x.dtype),
+            pltpu.VMEM((band + 2, g, 128), x.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
