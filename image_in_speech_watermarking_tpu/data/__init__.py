@@ -12,3 +12,5 @@ from image_in_speech_watermarking_tpu.data.legacy_audio import (  # noqa: F401
 from image_in_speech_watermarking_tpu.data.image_restoration import (  # noqa: F401
     DenoisePatchDataset, synthetic_image_pairs,
 )
+from image_in_speech_watermarking_tpu.data.imagenet import (  # noqa: F401
+    ImageCoverDataset, load_imagenet_covers)

@@ -31,6 +31,7 @@ def net_state_2ch():
     return net, state
 
 
+@pytest.mark.slow
 def test_reconstruct_chain_stft(net_state_2ch):
     net, state = net_state_2ch
     wave = data.synthetic_speech(40000, seed=3)
@@ -45,6 +46,7 @@ def test_reconstruct_chain_stft(net_state_2ch):
 
 
 @pytest.mark.parametrize("mode", ["audio", "dwt"])
+@pytest.mark.slow
 def test_reconstruct_chain(net_state, mode):
     net, state = net_state
     wave = data.synthetic_speech(40000, seed=3)

@@ -14,6 +14,8 @@ from image_in_speech_watermarking_tpu.models.layers import (
     LeWinTransformerBlock)
 from image_in_speech_watermarking_tpu.ops import lewin_block
 
+pytestmark = pytest.mark.slow  # Interpret-mode Pallas kernels (~4.5 min on 1 CPU)
+
 
 @pytest.fixture(autouse=True)
 def _interpret():

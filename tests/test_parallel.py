@@ -37,6 +37,7 @@ def test_devices_available():
 @pytest.mark.parametrize("mesh_shape,axes", [
     ((2, 2), ("data", "model")),
 ])
+@pytest.mark.slow
 def test_sharded_train_step(mesh_shape, axes):
     mesh = make_mesh(mesh_shape, axes)
     cfg = TrainConfig(batch_size=8, nepoch=1, mesh_shape=mesh_shape,
@@ -50,6 +51,7 @@ def test_sharded_train_step(mesh_shape, axes):
     assert float(m2["loss"]) != float(metrics["loss"])  # params moved
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     """The 8-way data-parallel step computes the same loss and update as
     the single-device step (collectives are mathematically transparent)."""
@@ -88,6 +90,7 @@ def test_fsdp_specs_shard_large_params():
     assert any(sharded), "no parameter got model-sharded"
 
 
+@pytest.mark.slow
 def test_sharded_epoch_scan_matches_loop():
     """VERDICT r2 item 6: the device-resident epoch scan now runs on
     multi-device meshes — a 2-device dp scanned epoch reproduces the

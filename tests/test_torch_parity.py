@@ -154,6 +154,7 @@ def uformer_pair():
     return ref, ours, var
 
 
+@pytest.mark.slow
 def test_uformer_audio_forward_parity(uformer_pair):
     ref, ours, var = uformer_pair
     torch.manual_seed(1)
@@ -205,6 +206,7 @@ def _torch_reconstruct(ref, clips_nchw, wm, length, n_fft=255):
     return recon.numpy(), np.concatenate(wms_decode), np.concatenate(wms_att)
 
 
+@pytest.mark.slow
 def test_uformer_audio_chain_ber_parity(uformer_pair):
     """End-to-end embed->extract on a whole utterance: our
     eval.pipeline.reconstruct_audio vs the reference chain with the SAME

@@ -48,6 +48,7 @@ def test_warmup_cosine_schedule():
     assert abs(float(step(25)) - 2e-4 * 0.25) < 1e-9
 
 
+@pytest.mark.slow
 def test_model_a_overfits_tiny_batch():
     """The end-to-end slice: ModelA trained on one tiny batch drives both
     loss terms down (embedding + extraction learn)."""
@@ -68,6 +69,7 @@ def test_model_a_overfits_tiny_batch():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_uformer_audio_one_step_updates():
     """One jitted train step on a small UformerAudio: params move, loss
     finite, all 4 metric terms present."""
@@ -110,6 +112,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_uformer_bf16_train_step():
     """TrainConfig.dtype='bfloat16' flows into the model's compute dtype
     (VERDICT r1 item 4: the reference's AMP intent,
@@ -201,6 +204,7 @@ def _fit_with_curve(trainer, ds, epochs, result_dir, resume_from=None):
     return curve
 
 
+@pytest.mark.slow
 def test_kill_and_resume_reproduces_loss_curve(tmp_path):
     """VERDICT r1 item 9: resume restores params/opt_state/epoch and the
     per-epoch data+rng derivation makes the resumed curve equal the
@@ -226,6 +230,7 @@ def test_kill_and_resume_reproduces_loss_curve(tmp_path):
         assert abs(l - full[e]) < 1e-4 * (1 + abs(full[e])), (e, l, full[e])
 
 
+@pytest.mark.slow
 def test_init_from_params_only(tmp_path):
     """init_from (the reference's fine_tune entry) loads params but starts
     a fresh optimizer: params match the checkpoint, opt_state count is 0."""
@@ -252,6 +257,7 @@ def test_init_from_params_only(tmp_path):
     assert all(c == 0 for c in counts)  # fresh schedule
 
 
+@pytest.mark.slow
 def test_freeze_masks_updates():
     """freeze=("det_conv",) pins matching params while others train
     (model_utils.py:10-25 equivalent)."""
@@ -280,6 +286,7 @@ def test_freeze_masks_updates():
     assert moved_train > 0.0
 
 
+@pytest.mark.slow
 def test_async_checkpoint_roundtrip(tmp_path):
     """save_async + wait_for_saves must produce a checkpoint restore()
     reads back identically (train/checkpoint.py async path)."""
