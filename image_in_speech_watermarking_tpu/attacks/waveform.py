@@ -205,13 +205,19 @@ def phase_vocoder(spec: jnp.ndarray, rate: float,
 
 def time_stretch_wave(wav: jnp.ndarray, rate: float) -> jnp.ndarray:
     """librosa.effects.time_stretch: stft -> phase vocoder -> istft with
-    length round(L/rate). Shape-static (rate is a trace-time constant)."""
+    length round(L/rate). Shape-static (rate is a trace-time constant).
+
+    method='fft': the matmul-DFT default would embed 2048x1025 cos/sin
+    constant matrices per use — with three vocoder branches inside the
+    robust-bank lax.switch this bloated the train-step program enough to
+    crash the remote TPU worker's compiler (observed round 3). FFT keeps
+    the attack branch tiny; it is off the hot path."""
     w = _hann(_PV_N_FFT)
-    spec = stft(wav, _PV_N_FFT, hop_length=_PV_HOP, window=w)
+    spec = stft(wav, _PV_N_FFT, hop_length=_PV_HOP, window=w, method="fft")
     stretched = phase_vocoder(spec, rate, _PV_HOP)
     out_len = int(round(wav.shape[-1] / rate))
     return istft(stretched, _PV_N_FFT, hop_length=_PV_HOP, window=w,
-                 length=out_len)
+                 length=out_len, method="fft")
 
 
 def time_scaling(key, wav: jnp.ndarray,
