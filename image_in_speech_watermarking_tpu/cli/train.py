@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "epochs (audio_uformer_stft.py:486-536)")
     p.add_argument("--save_every", type=int, default=1, metavar="N",
                    help="min epochs between best-loss checkpoint writes")
+    p.add_argument("--no_epoch_scan", action="store_true",
+                   help="disable the device-resident epoch lax.scan and "
+                        "run the per-step host loop (smaller XLA program; "
+                        "contingency for remote-worker compile crashes)")
     return p
 
 
@@ -108,7 +112,8 @@ def main(argv=None) -> str:
         warmup_epochs=args.warmup_epochs, train_ps=args.train_ps,
         image_scale=args.image_scale, audio_scale=args.audio_scale,
         seed=args.seed, mesh_shape=shape, mesh_axes=axes,
-        remat=args.remat, dtype=args.dtype)
+        remat=args.remat, dtype=args.dtype,
+        epoch_scan=not args.no_epoch_scan)
 
     model = models.get_arch(
         args.arch, train_ps=args.train_ps, embed_dim=args.embed_dim,

@@ -150,6 +150,10 @@ class TrainConfig:
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
     remat: bool = False           # jax.checkpoint over transformer stages
+    epoch_scan: bool = True       # device-resident epoch lax.scan; False
+                                  # falls back to the per-step host loop
+                                  # (smaller XLA program — contingency for
+                                  # remote-worker compile-memory crashes)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -467,7 +467,8 @@ class Trainer:
         # bound). The corpus is pinned in HBM once (replicated on a
         # multi-device mesh; batch gathers are dp-sharded); each epoch is
         # ONE dispatch + ONE stacked-metrics fetch.
-        use_scan = (getattr(dataset, "kind", "")
+        use_scan = (cfg.epoch_scan
+                    and getattr(dataset, "kind", "")
                     in ("train", "train255")
                     and getattr(dataset, "clips", None) is not None)
         clips_dev = None
