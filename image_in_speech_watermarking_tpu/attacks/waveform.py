@@ -152,6 +152,32 @@ def time_shift(key, wav: jnp.ndarray, max_shift: int = 1000) -> jnp.ndarray:
     return jnp.roll(wav, shift, axis=-1)
 
 
+def time_warp(key, wav: jnp.ndarray, max_pct: float = 10.0) -> jnp.ndarray:
+    """Random linear-interp time warp at rate r ~ U(1-p, 1+p), p =
+    ``max_pct``/100; output keeps the input length (r>1 reads past the
+    tail are zeroed, r<1 leaves a zero tail).
+
+    Not in the reference battery — a TRAINING surrogate for the vocoder
+    desync attacks (time_scaling-0.9/1.1, pitch_scaling): after the
+    eval-side resync search (eval/sync.py) inverts the global stretch,
+    the extractor sees an approximately realigned signal with residual
+    interpolation/warp artifacts, which is exactly what this gather+lerp
+    warp produces. The real phase-vocoder branches embed an extra
+    STFT+ISTFT pair each inside the robust-bank ``lax.switch``; those
+    programs crashed the remote TPU worker's compiler (round 3), and
+    this proxy is ~2 gathers instead."""
+    L = wav.shape[-1]
+    p = max_pct / 100.0
+    r = 1.0 + (jax.random.uniform(key, ()) * 2.0 - 1.0) * p
+    pos = jnp.arange(L) * r
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - i0).astype(wav.dtype)
+    x0 = jnp.take(wav, jnp.clip(i0, 0, L - 1), axis=-1)
+    x1 = jnp.take(wav, jnp.clip(i0 + 1, 0, L - 1), axis=-1)
+    out = x0 * (1.0 - frac) + x1 * frac
+    return jnp.where(pos <= (L - 1), out, 0.0)
+
+
 def jittering_2(key, wav: jnp.ndarray, jit_ratio: int = 1000) -> jnp.ndarray:
     """Zero ``jit_ratio`` random samples (audio_attack.py:176-193)."""
     L = wav.shape[-1]
@@ -309,6 +335,7 @@ ATTACKS: Dict[str, Callable] = {
     "jittering": jittering,
     "jittering_2": jittering_2,
     "time_shift": time_shift,
+    "time_warp": time_warp,
     "time_scaling": time_scaling,
     "pitch_scaling": pitch_scaling,
     "aac": aac,
@@ -326,6 +353,7 @@ _PARAM_NAME = {
     "jittering": ("jit_ratio", int),
     "jittering_2": ("jit_ratio", int),
     "time_shift": ("max_shift", int),
+    "time_warp": ("max_pct", float),
     "time_scaling": ("scaling_factor", float),
     "pitch_scaling": ("scaling_factor", float),
     "mp3compress": ("compress_rate", str),

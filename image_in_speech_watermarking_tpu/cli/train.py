@@ -89,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "epochs (audio_uformer_stft.py:486-536)")
     p.add_argument("--save_every", type=int, default=1, metavar="N",
                    help="min epochs between best-loss checkpoint writes")
+    p.add_argument("--robust_mode", default="channel",
+                   choices=["channel", "aux"],
+                   help="how --robust_attacks enter the graph: 'channel' "
+                        "= extractor reads the attacked clip (HiDDeN "
+                        "noiser topology, baseline-size program); 'aux' "
+                        "= extra attacked-decode loss term (doubles the "
+                        "extractor in the program)")
     p.add_argument("--no_epoch_scan", action="store_true",
                    help="disable the device-resident epoch lax.scan and "
                         "run the per-step host loop (smaller XLA program; "
@@ -154,7 +161,8 @@ def main(argv=None) -> str:
     robust = tuple(s for s in args.robust_attacks.split(",") if s)
     freeze = tuple(s for s in args.freeze.split(",") if s)
     trainer = Trainer(model, cfg, steps_per_epoch=steps, mesh=mesh,
-                      robust_attacks=robust, freeze=freeze)
+                      robust_attacks=robust, robust_mode=args.robust_mode,
+                      freeze=freeze)
     trainer.fit(ds, wm, result_dir=result_dir, resume_from=args.resume,
                 init_from=args.init_from,
                 early_stop_patience=args.early_stop,

@@ -112,6 +112,7 @@ class Trainer:
                  mesh=None, loss_weights: LossWeights = LossWeights(),
                  robust_attacks: tuple = (),
                  robust_weight: float = 1.0,
+                 robust_mode: str = "channel",
                  freeze: tuple = ()):
         """``robust_attacks``: optional in-graph attack-conditioned
         training (a TPU-native upgrade over the reference, which attacks
@@ -120,7 +121,20 @@ class Trainer:
         the extractor must still decode it; every attack in
         attacks/waveform.py is differentiable and shape-static, so this
         rides the same jit program. Example: ("closed_loop", "awgn-15",
-        "amplitude_scaling-0.8", "requantization", "aac")."""
+        "amplitude_scaling-0.8", "requantization", "aac").
+
+        ``robust_mode`` picks how the attack enters the graph:
+          - "channel" (default): HiDDeN-style — the extractor reads the
+            attacked clip INSTEAD of the clean one (the noiser between
+            encode and decode, hidden/noise_layers/noiser.py:29-31).
+            Program size stays at the baseline step's (one embed + one
+            extract fwd/bwd); include "closed_loop" in the bank to keep
+            sampling the clean channel.
+          - "aux": the round-2 formulation — an extra attacked-decode
+            loss term on top of the full clean forward. Trains the clean
+            path every step but DOUBLES the extractor in the program
+            (+34% StableHLO measured), which crashed the remote TPU
+            worker's compiler on the flagship."""
         # Honor cfg.dtype: rebuild the model with the matching compute
         # dtype (bf16 matmuls/convs on the MXU, f32 norms/softmax/DFT).
         # The reference's AMP intent (audio_uformer_stft.py:372,538); no
@@ -141,21 +155,24 @@ class Trainer:
         self.is_model_a = type(model).__name__ == "ModelA"
         self.robust_attacks = tuple(robust_attacks)
         self.robust_weight = robust_weight
+        if robust_mode not in ("channel", "aux"):
+            raise ValueError(f"robust_mode {robust_mode!r}")
+        self.robust_mode = robust_mode
         self._step_fn = None
         self._raw_step = None
         self._epoch_fn = None
         self._fig_fn = None
 
-    def _robust_decode_loss(self, variables, batch, noise, message, rng):
-        """Random-attack the watermarked waveform in-graph and penalize
-        extraction error (lax.switch over the differentiable bank)."""
+    def _attack_channel(self, y, rng):
+        """ISTFT the watermarked clip, apply ONE random attack from the
+        bank (lax.switch over the differentiable, shape-static branches),
+        re-STFT. Returns the attacked spectrogram."""
         from image_in_speech_watermarking_tpu.attacks.waveform import (
             get_attack)
         from image_in_speech_watermarking_tpu.dsp.stft import (istft_ri,
                                                                stft_ri)
 
         mcfg = self.model.cfg
-        y = batch + noise
         wave = istft_ri(y, n_fft=mcfg.n_fft, hop_length=mcfg.hop_length)
         kpick, kapply = jax.random.split(rng)
         idx = jax.random.randint(kpick, (), 0, len(self.robust_attacks))
@@ -178,9 +195,32 @@ class Trainer:
         wave_att = jax.lax.switch(idx, branches, wave)
         spec_att = stft_ri(wave_att, n_fft=mcfg.n_fft,
                            hop_length=mcfg.hop_length)
+        return spec_att, idx
+
+    def _robust_decode_loss(self, variables, batch, noise, message, rng):
+        """robust_mode="aux": random-attack the watermarked waveform
+        in-graph and penalize extraction error as an EXTRA loss term."""
+        spec_att, _ = self._attack_channel(batch + noise, rng)
         wm_att = self.model.apply(variables, spec_att,
                                   method=self.model.wm_decode)
         return jnp.mean((wm_att - message) ** 2)
+
+    def _channel_forward(self, variables, batch, message, rngs):
+        """robust_mode="channel": the HiDDeN noiser topology — embed,
+        push the clip through ONE random in-graph attack, and extract
+        from the ATTACKED clip (the reference extractor reads the clean
+        clip, model.py:2508). Same program size as the baseline step:
+        one embed + one extract fwd/bwd."""
+        out = self.model.apply(variables, batch, message,
+                               deterministic=False, rngs=rngs,
+                               method=self.model.embed)
+        y, noise, wm_pred = out
+        stft_new = self.model.apply(variables, y,
+                                    method=self.model.channel_sim)
+        spec_att, idx = self._attack_channel(y, rngs["attack"])
+        wm = self.model.apply(variables, spec_att, deterministic=False,
+                              rngs=rngs, method=self.model.wm_decode)
+        return (stft_new, noise, wm_pred, wm), idx
 
     # -------------------- init --------------------
 
@@ -226,6 +266,17 @@ class Trainer:
         if has_stats:
             variables["batch_stats"] = batch_stats
         kw = dict(mutable=["batch_stats"]) if has_stats else {}
+        if (self.robust_attacks and not self.is_model_a
+                and self.robust_mode == "channel"):
+            if has_stats:
+                raise NotImplementedError(
+                    "channel-mode robust training with batch_stats")
+            out, idx = self._channel_forward(variables, batch, message,
+                                             rngs)
+            loss, metrics = uformer_loss(out, batch, message,
+                                         self.loss_weights)
+            metrics = {**metrics, "attack_idx": idx.astype(jnp.float32)}
+            return loss, (metrics, None)
         if self.is_model_a:
             out = self.model.apply(variables, batch, message, train=True,
                                    **kw)
@@ -459,7 +510,10 @@ class Trainer:
             # config snapshot (exp_config.txt parity,
             # audio_uformer_stft.py:380-381)
             with open(os.path.join(result_dir, "exp_config.json"), "w") as f:
-                json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+                snap = dataclasses.asdict(cfg)
+                snap["robust_attacks"] = list(self.robust_attacks)
+                snap["robust_mode"] = self.robust_mode
+                json.dump(snap, f, indent=2, default=str)
             log_f = open(os.path.join(result_dir, "exp_loss.jsonl"), "a")
 
         # Device-resident epochs: scan the whole epoch on chip (see

@@ -127,6 +127,35 @@ def test_jittering_2_zeroes():
     assert 0 < changed <= 500
 
 
+def test_time_warp_resamples():
+    """time_warp (training surrogate): linear-interp read at rate
+    r ~ U(1-p, 1+p), same output length, differentiable."""
+    x = jnp.asarray(_wav(16000))
+    y = np.asarray(waveform.time_warp(KEY, x, max_pct=10.0))
+    assert y.shape == x.shape
+    # the warp actually moves samples (not identity) ...
+    assert np.abs(y - np.asarray(x)).mean() > 1e-4
+    # ... but reads the same signal: energy within 15% (zero tail ok)
+    assert abs(np.abs(y).sum() / np.abs(np.asarray(x)).sum() - 1) < 0.15
+    # y equals x resampled at the rate the key draws (same derivation as
+    # the implementation, so the reconstruction is exact)
+    r = float(1.0 + (jax.random.uniform(KEY, ()) * 2.0 - 1.0) * 0.1)
+    pos = np.arange(16000) * np.float32(r)
+    expect = np.interp(pos, np.arange(16000), np.asarray(x))
+    expect[pos > 15999] = 0.0
+    # atol covers f32 floor-boundary rounding of the position grid
+    np.testing.assert_allclose(y, expect, atol=1e-3)
+    # differentiable w.r.t. the waveform
+    g = jax.grad(lambda v: jnp.sum(
+        waveform.time_warp(KEY, v, max_pct=10.0) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+    # batched input works (robust bank applies it to (B, L))
+    xb = jnp.stack([x, x * 0.5])
+    yb = np.asarray(waveform.time_warp(KEY, xb, max_pct=10.0))
+    assert yb.shape == xb.shape
+    np.testing.assert_allclose(yb[0] * 0.5, yb[1], atol=1e-6)
+
+
 def test_time_scaling_length():
     """time_stretch output length = round(L / rate)
     (librosa.effects.time_stretch semantics)."""
