@@ -88,6 +88,8 @@ def main(argv=None):
         data_max = float(ds_train.data_max)
 
     if args.checkpoint:
+        checkpoint.check_model_cfg(args.checkpoint,
+                                   getattr(model, 'cfg', None))
         restored = checkpoint.restore(args.checkpoint)
         variables = {"params": restored["params"]}
         if "batch_stats" in restored:

@@ -66,6 +66,7 @@ class Watermarker:
             model = models.get_arch(arch, compute_dtype=compute_dtype)
         else:
             model = models.get_arch(arch)
+        checkpoint.check_model_cfg(path, getattr(model, 'cfg', None))
         name = "modelA" if arch == "ModelA" else "uformer"
         return cls(model, variables, model_name=name, **kw)
 

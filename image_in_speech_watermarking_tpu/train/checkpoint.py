@@ -92,6 +92,59 @@ def restore(path: str, like: Any = None) -> dict:
     return jax.tree.unflatten(treedef, rleaves)
 
 
+def save_model_cfg(path: str, model_cfg: Any) -> str:
+    """Write a JSON snapshot of the model config next to the checkpoint
+    dir (``<path>.cfg.json``). Guards against silently restoring a
+    checkpoint into a model that computes a different function with the
+    same parameter shapes (e.g. the channel-sim ``stft_residual`` form —
+    advisor r2 finding: a pre-flag checkpoint restores without error but
+    the refinement is applied differently)."""
+    import dataclasses as _dc
+    import json as _json
+
+    if model_cfg is None:   # cfg-less models (ModelA, UNet): no guard
+        return ""
+    snap = (_dc.asdict(model_cfg) if _dc.is_dataclass(model_cfg)
+            else dict(model_cfg))
+    # normalize through JSON so load-side comparison is type-stable
+    # (tuples -> lists, dtypes -> strings)
+    snap = _json.loads(_json.dumps(snap, default=str))
+    sidecar = os.path.abspath(path) + ".cfg.json"
+    with open(sidecar, "w") as f:
+        _json.dump(snap, f, indent=2)
+    return sidecar
+
+
+def check_model_cfg(path: str, model_cfg: Any) -> list:
+    """Compare a checkpoint's stored config snapshot against the config
+    of the model it is being restored into. Returns the list of
+    differing keys (empty when compatible or when no snapshot exists —
+    pre-guard checkpoints restore silently, matching their era) and
+    emits a warning naming each mismatch."""
+    import dataclasses as _dc
+    import json as _json
+    import warnings
+
+    sidecar = os.path.abspath(path) + ".cfg.json"
+    if model_cfg is None or not os.path.exists(sidecar):
+        return []
+    with open(sidecar) as f:
+        stored = _json.load(f)
+    snap = (_dc.asdict(model_cfg) if _dc.is_dataclass(model_cfg)
+            else dict(model_cfg))
+    snap = _json.loads(_json.dumps(snap, default=str))
+    diffs = [k for k in stored
+             if k in snap and snap[k] != stored[k]]
+    if diffs:
+        detail = ", ".join(f"{k}: ckpt={stored[k]!r} model={snap[k]!r}"
+                           for k in diffs)
+        warnings.warn(
+            f"checkpoint {path} was saved with a different model config "
+            f"({detail}); parameter shapes may still match, but the "
+            "restored model computes a different function", stacklevel=2)
+    return diffs
+
+
 def save_tree(path: str, tree: Any) -> str:
     """Save an arbitrary pytree (e.g. the HiDDeN dict checkpoint,
     hidden/utils.py:84-90)."""

@@ -394,6 +394,10 @@ class Trainer:
         (state, next_epoch)."""
         from image_in_speech_watermarking_tpu.train import checkpoint as ckpt
 
+        # warn if the checkpoint's model-config snapshot disagrees with
+        # the model being restored into (same shapes, different function
+        # — e.g. stft_residual; advisor r2 finding)
+        ckpt.check_model_cfg(path, getattr(self.model, 'cfg', None))
         like = {"params": template.params, "step": 0, "epoch": 0}
         if not params_only:
             like["opt_state"] = template.opt_state
@@ -608,6 +612,8 @@ class Trainer:
                     # async: snapshot to host now, write in background
                     ckpt.save_async(os.path.join(result_dir, "model"),
                                     state, epoch=epoch)
+                    ckpt.save_model_cfg(os.path.join(result_dir, "model"),
+                                        getattr(self.model, 'cfg', None))
                     last_saved = epoch
             elif early_stop_patience is not None \
                     and epoch - best_epoch >= early_stop_patience:
