@@ -133,8 +133,12 @@ def check_model_cfg(path: str, model_cfg: Any) -> list:
     snap = (_dc.asdict(model_cfg) if _dc.is_dataclass(model_cfg)
             else dict(model_cfg))
     snap = _json.loads(_json.dumps(snap, default=str))
+    # performance knobs, not function changes: a bf16-trained checkpoint
+    # evaluates fine (better, even) at f32
+    benign = {"compute_dtype", "use_pallas_block", "use_pallas_attention",
+              "remat"}
     diffs = [k for k in stored
-             if k in snap and snap[k] != stored[k]]
+             if k in snap and k not in benign and snap[k] != stored[k]]
     if diffs:
         detail = ", ".join(f"{k}: ckpt={stored[k]!r} model={snap[k]!r}"
                            for k in diffs)
