@@ -26,11 +26,14 @@ python -m image_in_speech_watermarking_tpu.cli.evaluate \
     --attacks "closed_loop,jittering-1000,time_scaling-0.9,time_scaling-1.1,pitch_scaling" \
     --result_dir results/eval_r2_resync 2>&1 | tail -20
 
-# 4. HiDDeN table completion
-bash scripts/hidden_table_r3.sh 2>&1 | tail -30
-
-# 5. bench with the new train-step/MFU metrics
+# 4. bench with the new train-step/MFU metrics (before the long HiDDeN
+#    table so it is guaranteed to land inside the round)
 python bench.py
 
-# 6. Pallas packed-lane A/B on the real chip
+# 5. Pallas packed-lane A/B on the real chip
 python scripts/bench_pallas_ab.py 2>&1 | tail -10
+
+# 6. HiDDeN table completion (longest job last; summary tolerates a
+#    partially-finished table)
+bash scripts/hidden_table_r3.sh 2>&1 | tail -30
+python scripts/hidden_table_summary.py results/hidden_table_r3 || true
