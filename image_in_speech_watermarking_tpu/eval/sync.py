@@ -63,33 +63,40 @@ def resync_candidates(att_audio: np.ndarray, expected_len: int,
     L = att.shape[-1]
     cands: List[Tuple[str, np.ndarray]] = []
 
-    if L == expected_len:
-        cands.append(("identity", att))
-    else:
-        rate = L / float(expected_len)
-        if abs(rate - 1.0) < vocoder_threshold:
-            # small global drift (jitter deletions): linear resample —
-            # the implied pitch change is < 2 percent of a semitone-free
-            # ratio, far inside the decoder's tolerance
-            cands.append((f"resample[{rate:.4f}]",
-                          _linear_resample(att, expected_len)))
+    # The inverse warps run the phase vocoder, whose complex math
+    # (mag * exp(i*phase)) is UNIMPLEMENTED on the TPU backend; run the
+    # candidate synthesis on the host CPU backend like the eval chain's
+    # attack application (pipeline.py), exact-length and compile-free.
+    with jax.default_device(jax.devices("cpu")[0]):
+        if L == expected_len:
+            cands.append(("identity", att))
         else:
-            # a real stretch: undo with the inverse phase vocoder so
-            # spectral frames (not just samples) realign
-            out = np.asarray(time_stretch_wave(jnp.asarray(att), rate))
-            out = _fix_len(out, expected_len)
-            cands.append((f"unstretch[{rate:.4f}]", out))
-            # fallback: plain resample (covers resample-style stretches)
-            cands.append((f"resample[{rate:.4f}]",
-                          _linear_resample(att, expected_len)))
-        # raw crop/pad candidate in case the length change was trimming
-        cands.append(("croppad", _fix_len(att, expected_len)))
+            rate = L / float(expected_len)
+            if abs(rate - 1.0) < vocoder_threshold:
+                # small global drift (jitter deletions): linear resample —
+                # the implied pitch change is < 2 percent of a semitone-
+                # free ratio, far inside the decoder's tolerance
+                cands.append((f"resample[{rate:.4f}]",
+                              _linear_resample(att, expected_len)))
+            else:
+                # a real stretch: undo with the inverse phase vocoder so
+                # spectral frames (not just samples) realign
+                out = np.asarray(time_stretch_wave(jnp.asarray(att), rate))
+                out = _fix_len(out, expected_len)
+                cands.append((f"unstretch[{rate:.4f}]", out))
+                # fallback: plain resample (covers resample-style
+                # stretches)
+                cands.append((f"resample[{rate:.4f}]",
+                              _linear_resample(att, expected_len)))
+            # raw crop/pad candidate in case the change was trimming
+            cands.append(("croppad", _fix_len(att, expected_len)))
 
-    for steps in pitch_steps:
-        # inverse of the battery's pitch_scaling(n_steps=-steps)
-        out = np.asarray(pitch_scaling(jax.random.key(0), jnp.asarray(
-            cands[0][1]), scaling_factor=float(steps)))
-        cands.append((f"pitch[{steps:+.0f}]", _fix_len(out, expected_len)))
+        for steps in pitch_steps:
+            # inverse of the battery's pitch_scaling(n_steps=-steps)
+            out = np.asarray(pitch_scaling(jax.random.key(0), jnp.asarray(
+                cands[0][1]), scaling_factor=float(steps)))
+            cands.append((f"pitch[{steps:+.0f}]",
+                          _fix_len(out, expected_len)))
     return cands
 
 
