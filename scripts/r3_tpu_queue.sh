@@ -19,12 +19,11 @@ python -m image_in_speech_watermarking_tpu.cli.evaluate \
     --attacks "closed_loop,jittering-1000,time_scaling-0.9,time_scaling-1.1,pitch_scaling,aac,aac-64k,mp3compress-64k" \
     --result_dir results/eval_r3_desync_nosync 2>&1 | tail -20
 
-# 3. ablation: round-2 checkpoint + resync (sync without fine-tune)
-python -m image_in_speech_watermarking_tpu.cli.evaluate \
-    --checkpoint results/flagship_r2/model \
-    --size 5 --resync \
-    --attacks "closed_loop,jittering-1000,time_scaling-0.9,time_scaling-1.1,pitch_scaling" \
-    --result_dir results/eval_r2_resync 2>&1 | tail -20
+# 3. (dropped) round-2-checkpoint + resync ablation: the round-2
+#    checkpoint lived in gitignored results/ and was lost to a VM
+#    restart mid-round; the flagship was retrained from scratch with
+#    the robust bank instead (results/flagship_r3_desync).  The sync
+#    stage's contribution is still isolated by ablation 2 above.
 
 # 4. bench with the new train-step/MFU metrics (before the long HiDDeN
 #    table so it is guaranteed to land inside the round)
