@@ -116,12 +116,50 @@ def confidence(decodes: np.ndarray) -> float:
     return saturation + 2.0 * agreement
 
 
+# Confidence below this = the decoder locked (measured on the round-3
+# flagship: aligned ~0.09, >=1-sample misaligned ~0.17-0.20; the
+# decoder's alignment basin is exactly +-0 samples — a 1-sample shift
+# rotates every n_fft=255 bin's phase and the RI embedding is gone).
+LOCK_THRESHOLD = 0.12
+
+
+def offset_search(wave: np.ndarray, extract_fn, max_shift: int = 1024,
+                  accept: float = LOCK_THRESHOLD,
+                  ) -> Tuple[int, np.ndarray, float]:
+    """Exact integer-offset search: circularly roll ``wave`` by every
+    offset in [-max_shift, max_shift] (outward from 0) and return the
+    first/best (offset, decodes, confidence) by the blind lock score.
+
+    The decoder has no shift tolerance at all (see LOCK_THRESHOLD note),
+    so the search must visit every integer offset; the early exit on
+    ``accept`` makes the expected cost half the window. Repairs
+    constant-offset desyncs (time_shift) exactly; also used as a +-small
+    refinement after a global length restore."""
+    best = None
+    for mag in range(0, max_shift + 1):
+        for off in ((0,) if mag == 0 else (mag, -mag)):
+            dec = extract_fn(np.roll(wave, -off))
+            c = confidence(dec)
+            if best is None or c < best[2]:
+                best = (off, dec, c)
+            if c < accept:
+                return best
+    return best
+
+
 def best_candidate(att_audio: np.ndarray, expected_len: int,
                    extract_fn: Callable[[np.ndarray], np.ndarray],
                    pitch_steps: Tuple[float, ...] = (6.0, -6.0),
+                   max_shift: int = 1024,
                    ) -> Tuple[np.ndarray, np.ndarray, str, float]:
     """Run ``extract_fn`` (wave -> per-clip decodes) over the candidate
-    set and return (best_wave, best_decodes, candidate_name, score)."""
+    set and return (best_wave, best_decodes, candidate_name, score).
+
+    If no candidate locks (confidence >= LOCK_THRESHOLD), fall back to
+    the exact integer offset_search on the best candidate's wave: the
+    full +-max_shift window when the received length matched (a pure
+    time_shift), a +-64 refinement window otherwise (residual offset
+    after the length-restoring resample/unstretch)."""
     best = None
     for name, wave in resync_candidates(att_audio, expected_len,
                                         pitch_steps=pitch_steps):
@@ -129,4 +167,12 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         score = confidence(dec)
         if best is None or score < best[3]:
             best = (wave, dec, name, score)
+    if best[3] >= LOCK_THRESHOLD:
+        length_matched = np.asarray(att_audio).reshape(-1).shape[-1] \
+            == expected_len
+        window = max_shift if length_matched else 64
+        off, dec, c = offset_search(best[0], extract_fn, max_shift=window)
+        if c < best[3]:
+            rolled = np.roll(best[0], -off)
+            best = (rolled, dec, f"{best[2]}+roll[{-off:+d}]", c)
     return best

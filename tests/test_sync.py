@@ -81,3 +81,36 @@ def test_best_candidate_picks_aligned_input():
     assert name.startswith(("unstretch", "resample")), name
     # the winning decodes reproduce the glyph
     assert np.mean((dec > 0.5) != (glyph > 0.5)) < 0.2
+
+
+def test_offset_search_recovers_exact_shift():
+    wave = data.synthetic_speech(16000, seed=3)
+    true_shift = 437
+    att = np.roll(wave, true_shift)
+
+    def extract(w):
+        # toy zero-tolerance extractor: saturated decodes only at exact
+        # sample alignment (mirrors the measured +-0 basin)
+        aligned = float(np.allclose(w, wave))
+        base = np.full((4, 32, 32, 1), 0.5, np.float32)
+        return base + 0.49 * aligned
+
+    off, dec, conf = sync.offset_search(att, extract, max_shift=512)
+    assert off == true_shift
+    assert conf < sync.LOCK_THRESHOLD
+
+
+def test_best_candidate_falls_back_to_offset_search():
+    wave = data.synthetic_speech(16000, seed=4)
+    att = np.asarray(wf.time_shift(jax.random.key(7), jnp.asarray(wave),
+                                   max_shift=300))
+
+    def extract(w):
+        aligned = float(np.allclose(w, wave))
+        base = np.full((4, 32, 32, 1), 0.5, np.float32)
+        return base + 0.49 * aligned
+
+    _, dec, name, conf = sync.best_candidate(att, 16000, extract,
+                                             max_shift=320)
+    assert "roll[" in name, name
+    assert conf < sync.LOCK_THRESHOLD
