@@ -70,6 +70,18 @@ def resync_candidates(att_audio: np.ndarray, expected_len: int,
     with jax.default_device(jax.devices("cpu")[0]):
         if L == expected_len:
             cands.append(("identity", att))
+            # Deletion attacks in the static-shape battery keep the
+            # length and zero-fill the tail (waveform.jittering): the
+            # survivors are left-shifted with progressively growing
+            # drift. Blind tell: an exact-zero tail run. Trim it and
+            # linear-resample the survivors back to the full grid —
+            # the same repair as a short received signal.
+            zero_tail = int(np.argmax(att[::-1] != 0.0)) \
+                if np.any(att != 0.0) else 0
+            if zero_tail >= 64:
+                trimmed = att[: L - zero_tail]
+                cands.append((f"detail[{zero_tail}]",
+                              _linear_resample(trimmed, expected_len)))
         else:
             rate = L / float(expected_len)
             if abs(rate - 1.0) < vocoder_threshold:

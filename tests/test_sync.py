@@ -114,3 +114,15 @@ def test_best_candidate_falls_back_to_offset_search():
                                              max_shift=320)
     assert "roll[" in name, name
     assert conf < sync.LOCK_THRESHOLD
+
+
+def test_zero_tail_deletion_gets_resample_candidate():
+    wave = data.synthetic_speech(16000, seed=5)
+    att = np.asarray(wf.jittering(jax.random.key(2), jnp.asarray(wave),
+                                  jit_ratio=1000))
+    assert att.shape == (16000,)           # static shape, zero tail
+    cands = sync.resync_candidates(att, 16000)
+    names = [n for n, _ in cands]
+    assert any(n.startswith("detail[") for n in names), names
+    for _, w in cands:
+        assert w.shape == (16000,)
