@@ -173,8 +173,10 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
     time_shift), a +-64 refinement window otherwise (residual offset
     after the length-restoring resample/unstretch)."""
     best = None
+    saw_deletion_tail = False
     for name, wave in resync_candidates(att_audio, expected_len,
                                         pitch_steps=pitch_steps):
+        saw_deletion_tail |= name.startswith("detail[")
         dec = extract_fn(wave)
         score = confidence(dec)
         if best is None or score < best[3]:
@@ -182,7 +184,11 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
     if best[3] >= LOCK_THRESHOLD:
         length_matched = np.asarray(att_audio).reshape(-1).shape[-1] \
             == expected_len
-        window = max_shift if length_matched else 64
+        # full-window roll only for a suspected pure constant shift
+        # (length intact, no deletion tail); a big roll cannot repair
+        # progressive drift or pitch, so elsewhere just refine +-64
+        window = max_shift if (length_matched
+                               and not saw_deletion_tail) else 64
         off, dec, c = offset_search(best[0], extract_fn, max_shift=window)
         if c < best[3]:
             rolled = np.roll(best[0], -off)
