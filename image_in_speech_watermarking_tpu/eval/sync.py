@@ -159,6 +159,28 @@ def offset_search(wave: np.ndarray, extract_fn, max_shift: int = 1024,
     return best
 
 
+def piecewise_offset_search(wave: np.ndarray, extract_fn,
+                            offsets=range(-48, 49, 2),
+                            ) -> Tuple[np.ndarray, float]:
+    """Per-clip offset repair for PROGRESSIVE drift (deletion attacks):
+    after the global length restore, the residual misalignment is a slow
+    random walk — approximately constant within each 128-frame clip but
+    different between clips. Extract at every offset in ``offsets`` and
+    compose the result by taking, for each clip, the decode with the
+    best per-clip saturation. Returns (decodes, confidence of the
+    composition). Purely blind, like the global search."""
+    sats, decs = [], []
+    for off in offsets:
+        d = np.asarray(extract_fn(np.roll(wave, -int(off))))
+        decs.append(d)
+        sats.append(np.mean(np.minimum(d, 1.0 - d), axis=(1, 2, 3)))
+    sat = np.stack(sats)                     # (n_offsets, n_clips)
+    dec = np.stack(decs)                     # (n_offsets, n_clips, ...)
+    pick = np.argmin(sat, axis=0)
+    out = dec[pick, np.arange(dec.shape[1])]
+    return out, confidence(out)
+
+
 def best_candidate(att_audio: np.ndarray, expected_len: int,
                    extract_fn: Callable[[np.ndarray], np.ndarray],
                    pitch_steps: Tuple[float, ...] = (6.0, -6.0),
@@ -193,4 +215,9 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         if c < best[3]:
             rolled = np.roll(best[0], -off)
             best = (rolled, dec, f"{best[2]}+roll[{-off:+d}]", c)
+    if best[3] >= LOCK_THRESHOLD:
+        # still no global lock: progressive-drift repair, clip by clip
+        dec, c = piecewise_offset_search(best[0], extract_fn)
+        if c < best[3]:
+            best = (best[0], dec, f"{best[2]}+piecewise", c)
     return best

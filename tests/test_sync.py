@@ -126,3 +126,29 @@ def test_zero_tail_deletion_gets_resample_candidate():
     assert any(n.startswith("detail[") for n in names), names
     for _, w in cands:
         assert w.shape == (16000,)
+
+
+def test_piecewise_offset_search_repairs_progressive_drift():
+    # toy: 3 clips, each decodes (saturated) only at its own offset;
+    # a probe impulse at index 0 lets the extractor recover the roll
+    # the search applied
+    true_offs = [0, 4, -6]
+    L = 1024
+    probe = np.zeros(L, np.float32)
+    probe[0] = 1.0
+
+    def ext(w):
+        idx = int(np.argmax(w))
+        off = (-idx) % L
+        if off > L // 2:
+            off -= L
+        out = np.full((3, 32, 32, 1), 0.5, np.float32)
+        for c, t in enumerate(true_offs):
+            if off == t:
+                out[c] = 0.99
+        return out
+
+    dec, conf = sync.piecewise_offset_search(probe, ext,
+                                             offsets=range(-8, 9, 2))
+    # every clip found its own offset -> all saturated
+    assert float(np.mean(np.minimum(dec, 1 - dec))) < 0.02
