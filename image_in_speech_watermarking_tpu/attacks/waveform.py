@@ -152,6 +152,36 @@ def time_shift(key, wav: jnp.ndarray, max_shift: int = 1000) -> jnp.ndarray:
     return jnp.roll(wav, shift, axis=-1)
 
 
+def phase_noise(key, wav: jnp.ndarray, max_rad: float = 1.0) -> jnp.ndarray:
+    """Magnitude-preserving correlated STFT phase noise.
+
+    Not in the reference battery — a TRAINING surrogate for the phase
+    vocoder's residual error. After the eval-side resync inverts a
+    time/pitch scaling attack's global stretch (eval/sync.py), the
+    extractor sees a signal whose STFT MAGNITUDES are approximately
+    restored but whose per-bin PHASES carry the vocoder's accumulated
+    phase-propagation error — a random walk along frames, independent
+    per bin. The real vocoder branches in-graph crashed the TPU
+    compiler (round 3, see time_stretch_wave), and this surrogate is
+    two STFTs and a cumsum: rotate each (bin, frame) RI pair by a
+    Gaussian random walk (step std ``max_rad``/8, clipped to
+    +-``max_rad``) along the frame axis. Forces the embedding into the
+    magnitude domain, where it survives phase scrambling. All-real
+    arithmetic on the n_fft=255 embedding grid (dsp.stft_ri)."""
+    from image_in_speech_watermarking_tpu.dsp.stft import istft_ri, stft_ri
+
+    L = wav.shape[-1]
+    spec = stft_ri(wav, 255, hop_length=128)          # (..., 128, T, 2)
+    n_frames = spec.shape[-2]
+    steps = jax.random.normal(key, spec.shape[:-3] + (128, n_frames)) \
+        * (max_rad / 8.0)
+    theta = jnp.clip(jnp.cumsum(steps, axis=-1), -max_rad, max_rad)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    re, im = spec[..., 0], spec[..., 1]
+    rotated = jnp.stack([re * c - im * s, re * s + im * c], axis=-1)
+    return istft_ri(rotated, 255, hop_length=128, length=L)
+
+
 def time_warp(key, wav: jnp.ndarray, max_pct: float = 10.0) -> jnp.ndarray:
     """Random linear-interp time warp at rate r ~ U(1-p, 1+p), p =
     ``max_pct``/100; output keeps the input length (r>1 reads past the
@@ -336,6 +366,7 @@ ATTACKS: Dict[str, Callable] = {
     "jittering_2": jittering_2,
     "time_shift": time_shift,
     "time_warp": time_warp,
+    "phase_noise": phase_noise,
     "time_scaling": time_scaling,
     "pitch_scaling": pitch_scaling,
     "aac": aac,
@@ -354,6 +385,7 @@ _PARAM_NAME = {
     "jittering_2": ("jit_ratio", int),
     "time_shift": ("max_shift", int),
     "time_warp": ("max_pct", float),
+    "phase_noise": ("max_rad", float),
     "time_scaling": ("scaling_factor", float),
     "pitch_scaling": ("scaling_factor", float),
     "mp3compress": ("compress_rate", str),

@@ -324,3 +324,22 @@ def test_codec_bitrate_ladder():
     assert d("mp3compress-64k") > d("mp3compress-128k") * 1.5
     ratio = d("aac") / d("awgn-15")
     assert 0.06 < ratio < 0.25, ratio   # anchor 0.127
+
+
+def test_phase_noise_scrambles_phase_not_magnitude():
+    from image_in_speech_watermarking_tpu.dsp.stft import stft_ri
+
+    from image_in_speech_watermarking_tpu import data
+
+    wav = jnp.asarray(data.synthetic_speech(32768, seed=11))
+    out = get_attack("phase_noise-1.0")(jax.random.key(5), wav)
+    assert out.shape == wav.shape
+    spec0 = np.asarray(stft_ri(wav, 255, hop_length=128))
+    spec1 = np.asarray(stft_ri(out, 255, hop_length=128))
+    mag0 = np.linalg.norm(spec0, axis=-1)
+    mag1 = np.linalg.norm(spec1, axis=-1)
+    mag_err = np.mean(np.abs(mag1 - mag0)) / np.mean(mag0)
+    ri_err = np.mean(np.abs(spec1 - spec0)) / np.mean(np.abs(spec0))
+    # phases move much more than magnitudes
+    assert ri_err > 2 * mag_err
+    assert mag_err < 0.35
