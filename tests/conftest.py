@@ -20,6 +20,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: compiles dominate the suite's wall
+# time on this 1-CPU host, and most test programs are identical across
+# runs. The cache dir is repo-local (gitignored) so repeat runs — and
+# the fast tier in particular — skip straight to execution.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
