@@ -301,6 +301,37 @@ def pitch_scaling(key, wav: jnp.ndarray, scaling_factor: float = -6.0,
     return jnp.pad(res, [(0, 0)] * (wav.ndim - 1) + [(0, L - res.shape[-1])])
 
 
+def vocoder_roundtrip(key, wav: jnp.ndarray,
+                      scaling_factor: float = 0.9) -> jnp.ndarray:
+    """Training surrogate for the POST-RESYNC residual of the vocoder
+    attacks: ``time_scaling(rate)`` followed by the inverse stretch back
+    to the original length — exactly the transformation the extractor
+    sees after eval-side resynchronization (eval/sync.py restores the
+    length with the inverse phase vocoder before extraction). The
+    surviving damage is the vocoder's phase reconstruction itself, which
+    no alignment repair can undo; putting the full roundtrip in the
+    robust bank trains the decoder against the real artifact instead of
+    the phase_noise proxy. Shape-static (rates are trace-time
+    constants); FFT STFTs keep the branch program small (see
+    time_stretch_wave)."""
+    del key
+    if scaling_factor == 1.0:
+        return wav
+    out = time_stretch_wave(wav, scaling_factor)
+    # inverse: stretch len(out) back to exactly len(wav)
+    back_rate = out.shape[-1] / wav.shape[-1]
+    back = time_stretch_wave(out, back_rate)
+    return _match_len(back, wav.shape[-1])
+
+
+def _match_len(wav: jnp.ndarray, n: int) -> jnp.ndarray:
+    wav = wav[..., :n]
+    if wav.shape[-1] < n:
+        pad = [(0, 0)] * (wav.ndim - 1) + [(0, n - wav.shape[-1])]
+        wav = jnp.pad(wav, pad)
+    return wav
+
+
 # ---------------------------------------------------------------------------
 # Codec simulation (aac / mp3): STFT-domain zigzag coefficient masking,
 # the reference's differentiable-JPEG trick transplanted to audio
@@ -367,6 +398,7 @@ ATTACKS: Dict[str, Callable] = {
     "time_shift": time_shift,
     "time_warp": time_warp,
     "phase_noise": phase_noise,
+    "vocoder_roundtrip": vocoder_roundtrip,
     "time_scaling": time_scaling,
     "pitch_scaling": pitch_scaling,
     "aac": aac,
@@ -386,6 +418,7 @@ _PARAM_NAME = {
     "time_shift": ("max_shift", int),
     "time_warp": ("max_pct", float),
     "phase_noise": ("max_rad", float),
+    "vocoder_roundtrip": ("scaling_factor", float),
     "time_scaling": ("scaling_factor", float),
     "pitch_scaling": ("scaling_factor", float),
     "mp3compress": ("compress_rate", str),
