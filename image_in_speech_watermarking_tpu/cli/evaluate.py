@@ -61,6 +61,10 @@ def main(argv=None):
                         "checkpoint's training run (see PARITY.md)")
     p.add_argument("--no-stft_residual", dest="stft_residual",
                    action="store_false")
+    p.add_argument("--splits", default="train,test",
+                   help="comma list of splits to sweep (the reference "
+                        "always does both, evaluate.py:327-331; a single "
+                        "split halves sweep wall time)")
     args = p.parse_args(argv)
 
     model = models.get_arch(args.arch, embed_dim=args.embed_dim,
@@ -71,7 +75,7 @@ def main(argv=None):
         if args.wm_source == "digits" else data.binary_watermarks(8, seed=0)
 
     datasets = {}
-    for split in ("train", "test"):
+    for split in tuple(s for s in args.splits.split(",") if s):
         waves = data.load_corpus(args.dataset, args.size, split=split)
         datasets[split] = data.SpeechDataset(waves, kind="eval")
 
@@ -95,7 +99,7 @@ def main(argv=None):
         if "batch_stats" in restored:
             variables["batch_stats"] = restored["batch_stats"]
     else:
-        wave0, clips0, _ = datasets["train"].utterance(0)
+        wave0, clips0, _ = next(iter(datasets.values())).utterance(0)
         variables = model.init(jax.random.key(0),
                                jnp.asarray(clips0[:1]),
                                jnp.asarray(msgs[:1]))
