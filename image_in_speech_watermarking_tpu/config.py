@@ -76,7 +76,7 @@ class UformerConfig:
     compute_dtype: str = "float32"
     # Fused Pallas window-attention kernel (ops/window_attention.py)
     use_pallas_attention: bool = False
-    # Whole-block fused LeWin kernels (ops/lewin_block.py): LN+W-MSA+proj
+    # Whole-block fused LeWin kernels (ops/experimental/lewin_block.py): LN+W-MSA+proj
     # +residual and LN+LeFF+residual each as one HBM pass. Forward-only
     # fusion (the VJP replays the jnp reference); active when
     # deterministic or drop_path == 0.

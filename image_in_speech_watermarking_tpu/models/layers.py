@@ -355,7 +355,7 @@ class LeWinTransformerBlock(nn.Module):
     use_pallas_block: bool = False
 
     def _fused_block(self, x, h, w, win, shift):
-        """Whole-block fused Pallas path (ops/lewin_block.py): two
+        """Whole-block fused Pallas path (ops/experimental/lewin_block.py): two
         kernels per block, each a single HBM pass. Reads the params the
         standard path created, so checkpoints are interchangeable."""
         from image_in_speech_watermarking_tpu.ops import (

@@ -39,6 +39,17 @@ padded/folded to the lane tiling (e.g. (tokens, 32)->(tokens/4, 128)
 window packing) — roadmap work. Until then XLA's fusion is the
 production path (76 ms bf16 fwd at batch 32; no fused-kernel perf claim
 is made anywhere).
+
+ROUND-3 FINAL NEGATIVE (real v5e, scripts/bench_pallas_ab.py): the
+packed-lane rework (lane-packed LeFF halo DMA, commit 908f83d) moves
+the reject one op downstream — Mosaic "infer-vector-layout: unsupported
+shape cast" on the un-pack transpose
+    tpu.reshape (18x32x128xbf16) -> (18x128x32xbf16)
+i.e. the sublane<->lane swap needed to restore token-major layout after
+the packed matmul has no supported layout inference on this toolchain.
+With both the direct and packed forms rejected by the compiler, the
+kernels move to ops/experimental/ (flags still resolve here); XLA
+fusion remains the production path and carries the bench headline.
 """
 
 from __future__ import annotations

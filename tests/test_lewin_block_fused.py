@@ -1,4 +1,4 @@
-"""Whole-block fused LeWin kernels (ops/lewin_block.py) vs the standard
+"""Whole-block fused LeWin kernels (ops/experimental/lewin_block.py) vs the standard
 flax path.
 
 The fused path reads the params the standard path created (identical
@@ -12,7 +12,7 @@ import pytest
 
 from image_in_speech_watermarking_tpu.models.layers import (
     LeWinTransformerBlock)
-from image_in_speech_watermarking_tpu.ops import lewin_block
+from image_in_speech_watermarking_tpu.ops.experimental import lewin_block
 
 pytestmark = pytest.mark.slow  # Interpret-mode Pallas kernels (~4.5 min on 1 CPU)
 
