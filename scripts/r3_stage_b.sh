@@ -17,6 +17,6 @@ bash scripts/train_resilient.sh results/flagship_r3_desync 20 \
   --nepoch "$NEPOCH" --lr_initial 5e-5 --warmup_epochs 1 \
   --dtype bfloat16 --remat --featurize 255 \
   --robust_attacks closed_loop,awgn-15,amplitude_scaling-0.8,requantization,time_shift-16,time_warp-0.1,time_warp-0.02,jittering_2-1000,low_pass,resampling,aac-64k,mp3compress-64k,vocoder_roundtrip-0.9,vocoder_roundtrip-1.1 \
-  --robust_mode channel --fig_every 15 \
+  --robust_mode channel --fig_every 15 --save_every 2 \
   --init_from results/flagship_r3_clean/model \
   --result_dir results/flagship_r3_desync
