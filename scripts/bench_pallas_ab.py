@@ -56,8 +56,21 @@ if __name__ == "__main__":
     if which == "bf16":
         combos = [("bfloat16", False), ("bfloat16", True)]
     for dt, fused in combos:
-        results[(dt, fused)] = bench_one(dt, fused)
+        try:
+            results[(dt, fused)] = bench_one(dt, fused)
+        except Exception as e:  # noqa: BLE001 — a Mosaic compile reject
+            # IS the A/B result for that combo: the fused kernel loses
+            # by not compiling on this chip generation. Record it and
+            # keep the queue alive (the 2026-08-18 run died here on
+            # "infer-vector-layout: unsupported shape cast").
+            msg = str(e).splitlines()[0][:160]
+            print(f"dtype={dt} fused={fused}: FAILED TO COMPILE — {msg}",
+                  flush=True)
+            results[(dt, fused)] = None
     for dt in ("bfloat16", "float32"):
-        if (dt, False) in results and (dt, True) in results:
-            print(f"{dt}: fused speedup = "
-                  f"{results[(dt, False)] / results[(dt, True)]:.2f}x")
+        a, b = results.get((dt, False)), results.get((dt, True))
+        if a and b:
+            print(f"{dt}: fused speedup = {a / b:.2f}x")
+        elif a and (dt, True) in results:
+            print(f"{dt}: fused kernel does not compile on this chip — "
+                  f"XLA path wins by default ({a*1000:.1f} ms/iter)")
