@@ -139,6 +139,60 @@ def _extract_jit(model, variables, att_audio, model_name,
     return model.apply(variables, clips, method="wm_decode")
 
 
+def _rolled_extract(model, variables, padded_wave, off, valid_len,
+                    model_name, audio_scale, data_min, data_max):
+    """Decode one circular roll of a (bucket-padded) wave, rolled ON
+    DEVICE: out[i] = wave[(i + off) % valid_len] for i < valid_len, 0
+    beyond — exactly np.roll(wave, -off) followed by zero-padding."""
+    idx = jnp.arange(padded_wave.shape[-1])
+    rolled = jnp.where(idx < valid_len,
+                       padded_wave[(idx + off) % valid_len], 0.0)
+    spec = stft_ri(rolled, n_fft=EVAL_N_FFT)
+    clips, _ = spec_to_clips(spec, CLIP_FRAMES)
+    clips = _scale_clips(clips, audio_scale, data_min, data_max)
+    if model_name == "modelA":
+        return model.apply(variables, clips, method="decode")
+    return model.apply(variables, clips, method="wm_decode")
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _score_rolls_jit(model, variables, padded_wave, offsets, model_name,
+                     audio_scale, valid_len, n_clips,
+                     data_min=0.0, data_max=1.0):
+    """Blind lock scores for a whole BLOCK of candidate roll offsets in
+    ONE device program. The sync offset search is tunnel-bound when it
+    ships rolled waves up and full decodes down (measured ~1.6 s/block
+    of 16 through the remote-TPU tunnel); rolling on device and
+    returning only (confidence (B,), per-clip saturation (B, n)) makes
+    a block cost bytes, not megabytes. Scores match eval/sync.py's
+    ``confidence`` (saturation + 2x cross-clip variance) over the
+    ``n_clips`` valid clips."""
+    def one(off):
+        w = _rolled_extract(model, variables, padded_wave, off, valid_len,
+                            model_name, audio_scale, data_min, data_max)
+        w = w.astype(jnp.float32)
+        m = (jnp.arange(w.shape[0]) < n_clips).astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        sat_pc = jnp.mean(jnp.minimum(w, 1.0 - w), axis=(1, 2, 3))
+        sat = jnp.sum(sat_pc * m) / denom
+        mw = m[:, None, None, None]
+        mu = jnp.sum(w * mw, axis=0) / denom
+        var = jnp.sum(jnp.square(w - mu) * mw, axis=0) / denom
+        agree = jnp.where(n_clips > 1, jnp.mean(var), 0.0)
+        return sat + 2.0 * agree, sat_pc
+    return jax.vmap(one)(offsets)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def _decode_rolls_jit(model, variables, padded_wave, offsets, model_name,
+                      audio_scale, valid_len, data_min=0.0, data_max=1.0):
+    """Full decodes for a block of roll offsets (device-side rolls)."""
+    return jax.vmap(
+        lambda off: _rolled_extract(model, variables, padded_wave, off,
+                                    valid_len, model_name, audio_scale,
+                                    data_min, data_max))(offsets)
+
+
 def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
                       model, variables, attack: str = "closed_loop",
                       model_name: str = "uformer",
@@ -205,11 +259,39 @@ def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
                               float(data_max))
         return np.asarray(wm_all)[:n_att]
 
+    def make_roll_fns(wave_att: np.ndarray):
+        """Device-roll scorers for the sync search over THIS wave: the
+        bucket-padded wave is uploaded once; each block of offsets ships
+        ~bytes up (int32 offsets) and ~bytes down (scores)."""
+        wave_att = np.asarray(wave_att, np.float32)
+        att_len = wave_att.shape[-1]
+        pad = jnp.asarray(np.pad(
+            wave_att, (0, _bucket(att_len, lo=16000) - att_len)))
+        frames_att = num_frames(att_len, EVAL_N_FFT, EVAL_HOP)
+        n_att = -(-frames_att // CLIP_FRAMES)
+
+        def score_rolls(offs):
+            conf, sat = _score_rolls_jit(
+                model, variables, pad, jnp.asarray(offs, jnp.int32),
+                model_name, audio_scale, jnp.int32(att_len),
+                jnp.int32(n_att), float(data_min), float(data_max))
+            return np.asarray(conf), np.asarray(sat)[:, :n_att]
+
+        def decode_rolls(offs):
+            w = _decode_rolls_jit(
+                model, variables, pad, jnp.asarray(offs, jnp.int32),
+                model_name, audio_scale, jnp.int32(att_len),
+                float(data_min), float(data_max))
+            return np.asarray(w)[:, :n_att]
+
+        return score_rolls, decode_rolls
+
     if resync:
         from image_in_speech_watermarking_tpu.eval import sync as _sync
 
         _, wm_decoded_att, _, _ = _sync.best_candidate(
-            np.asarray(att_audio), length, extract)
+            np.asarray(att_audio), length, extract,
+            make_roll_fns=make_roll_fns)
     else:
         wm_decoded_att = extract(np.asarray(att_audio))
 

@@ -128,39 +128,164 @@ def confidence(decodes: np.ndarray) -> float:
     return saturation + 2.0 * agreement
 
 
-# Confidence below this = the decoder locked (measured on the round-3
-# flagship: aligned ~0.09, >=1-sample misaligned ~0.17-0.20; the
-# decoder's alignment basin is exactly +-0 samples — a 1-sample shift
-# rotates every n_fft=255 bin's phase and the RI embedding is gone).
+# Confidence below this = the decoder probably locked (measured on the
+# round-3 flagship: aligned ~0.065-0.09 clean, ~0.122 when the decode is
+# correct but noisy (awgn-15 at WM-MSE 0.036); misaligned garbage is
+# USUALLY >= 0.16 but can dip to ~0.13, so the locked/garbage bands
+# OVERLAP in 0.12-0.13 — no single threshold separates them. Hence two
+# constants: LOCK_THRESHOLD gates whether a repair search runs at all,
+# and the stricter ACCEPT_THRESHOLD is the only score the search may
+# early-exit on (an unambiguous lock); between them, a repair must beat
+# the anchor by REPAIR_MARGIN to be believed (protects an aligned-but-
+# noisy decode from a confidently-wrong roll that scores 0.01 lower).
+# The decoder's alignment basin is exactly +-0 samples — a 1-sample
+# shift rotates every n_fft=255 bin's phase and the RI embedding is
+# gone.
 LOCK_THRESHOLD = 0.12
+# The stage-B flagship was TRAINED with a time_shift-16 branch, so it
+# decodes confidently at spurious offsets too (measured: a wrong roll
+# scored 0.0922 while the true offset scored 0.0647 on the same
+# utterance). 0.08 exits early only on unambiguous locks; anything
+# weaker crawls the whole window and takes the global confidence
+# minimum, which the measurements show sits at the true offset.
+ACCEPT_THRESHOLD = 0.08
+REPAIR_MARGIN = 0.02
+# Hop-lattice hallucinations: offsets that differ from the true shift
+# by exact multiples of the eval STFT hop (63 samples) shift the
+# spectrogram by whole frames, and the extractor then decodes a STABLE
+# WRONG glyph with confidence rivalling the true offset (measured:
+# +349 = true+8 hops scored 0.0774 vs 0.0889 at the true offset, decode
+# garbage). The discriminator confidence cannot see: only the TRUE
+# offset's decode is invariant to a further +-1 hop roll
+# (stability 0.0010-0.0012 at true vs 0.0034-0.0079 at every impostor,
+# measured on both probe utterances). A roll repair is only believed if
+# its hop-stability clears this gate.
+STABILITY_LOCK = 0.0025
+
+
+def _outward_offsets(max_shift: int):
+    """0, +1, -1, +2, -2, ... +-max_shift."""
+    yield 0
+    for mag in range(1, max_shift + 1):
+        yield mag
+        yield -mag
 
 
 def offset_search(wave: np.ndarray, extract_fn, max_shift: int = 1024,
-                  accept: float = LOCK_THRESHOLD,
+                  accept: float = ACCEPT_THRESHOLD,
                   ) -> Tuple[int, np.ndarray, float]:
-    """Exact integer-offset search: circularly roll ``wave`` by every
-    offset in [-max_shift, max_shift] (outward from 0) and return the
-    first/best (offset, decodes, confidence) by the blind lock score.
+    """Exact integer-offset search (serial form): circularly roll
+    ``wave`` by every offset in [-max_shift, max_shift] (outward from 0)
+    and return the best (offset, decodes, confidence) by the blind lock
+    score, early-exiting only on an unambiguous lock (``accept``).
 
-    The decoder has no shift tolerance at all (see LOCK_THRESHOLD note),
-    so the search must visit every integer offset; the early exit on
-    ``accept`` makes the expected cost half the window. Repairs
+    The decoder's alignment basin is sample-exact (see LOCK_THRESHOLD
+    note), so the search must visit every integer offset. Repairs
     constant-offset desyncs (time_shift) exactly; also used as a +-small
-    refinement after a global length restore."""
+    refinement after a global length restore. The production eval path
+    uses ``lattice_offset_search`` instead (device-roll blocks +
+    hop-stability verification)."""
     best = None
-    for mag in range(0, max_shift + 1):
-        for off in ((0,) if mag == 0 else (mag, -mag)):
-            dec = extract_fn(np.roll(wave, -off))
-            c = confidence(dec)
-            if best is None or c < best[2]:
-                best = (off, dec, c)
-            if c < accept:
-                return best
+    for off in _outward_offsets(max_shift):
+        dec = extract_fn(np.roll(wave, -off))
+        c = confidence(dec)
+        if best is None or c < best[2]:
+            best = (off, dec, c)
+        if c < accept:
+            return best
     return best
+
+
+# eval STFT hop (n_fft=255 -> hop 63, config.EVAL_HOP): the spacing of
+# the hallucination lattice (see STABILITY_LOCK note)
+_EVAL_HOP = 63
+
+
+def lattice_offset_search(wave: np.ndarray,
+                          roll_fns: Tuple[Callable, Callable],
+                          max_shift: int = 1024, block: int = 16,
+                          hop: int = _EVAL_HOP, n_finalists: int = 12,
+                          ) -> Tuple[int, np.ndarray, float, float]:
+    """Offset search with device-roll block scoring + hop-stability
+    verification; returns (offset, decodes, confidence, stability).
+
+    Stage 1 crawls the whole +-max_shift window with
+    ``score_rolls(offsets) -> (confidence, saturation)`` — device-side
+    rolls make a block cost bytes through the remote-TPU tunnel (the
+    serial search measured ~1.6 s/offset; a block of 16 scores in
+    ~0.5 s). No early exit: hop-lattice hallucinations can out-score the
+    true offset (see STABILITY_LOCK), so the confidence crawl only
+    NOMINATES finalists. Stage 2 decodes each finalist at {o, o+hop,
+    o-hop} and picks the finalist whose decode is most invariant to the
+    +-1 hop roll — the measured signature of true alignment."""
+    score_rolls, decode_rolls = roll_fns
+
+    def score_many(offs, confs):
+        for i in range(0, len(offs), block):
+            blk = offs[i:i + block]
+            padded = blk + [0] * (block - len(blk))
+            conf, _ = score_rolls(np.asarray(padded, np.int32))
+            for off, c in zip(blk, conf):
+                confs[off] = float(c)
+
+    def pick_basins(confs):
+        c_min = min(confs.values())
+        basins: List[int] = []
+        for off in sorted(confs, key=confs.get):
+            if all(abs(off - f) >= 8 for f in basins):
+                basins.append(off)
+            if len(basins) >= 48 or (len(basins) >= n_finalists
+                                     and confs[off] > c_min + 0.02):
+                break
+        return basins
+
+    # Coarse crawl at stride 3: the lock basin degrades gracefully for
+    # +-1 sample (measured 0.089 -> ~0.10 vs >=0.16 garbage), so a
+    # stride-3 grid cannot step over it; each coarse basin is then
+    # refined at stride 1 (+-2) before finalist selection. ~3x cheaper
+    # than the exhaustive crawl with the same guarantees.
+    confs: dict = {}
+    score_many(list(range(-max_shift, max_shift + 1, 3)) + [0], confs)
+    refine = [b + d for b in pick_basins(confs)
+              for d in (-2, -1, 1, 2) if abs(b + d) <= max_shift]
+    score_many([o for o in set(refine) if o not in confs], confs)
+    # Finalists: every distinct near-minimum basin. The hallucination
+    # lattice is DENSE (a +-1024 window holds ~32 hop-lattice points,
+    # many of which out-score the true offset — measured: 12+ impostor
+    # basins below the true offset's 0.0889), so a small top-K by
+    # confidence can exclude the true offset entirely; the stability
+    # probe is cheap (3 decodes per finalist), so take every basin
+    # within 0.02 of the global confidence minimum, floor n_finalists,
+    # cap 48.
+    finalists = pick_basins(confs)
+    probe = [x for o in finalists for x in (o, o + hop, o - hop)]
+    decs = []
+    for i in range(0, len(probe), block):
+        blk = probe[i:i + block]
+        padded = blk + [0] * (block - len(blk))
+        decs.extend(decode_rolls(np.asarray(padded, np.int32))[:len(blk)])
+    best = None
+    for j, off in enumerate(finalists):
+        d0, dp, dm = decs[3 * j], decs[3 * j + 1], decs[3 * j + 2]
+        stab = 0.5 * (float(np.mean((d0 - dp) ** 2))
+                      + float(np.mean((d0 - dm) ** 2)))
+        key = (stab, confs[off])
+        if best is None or key < best[0]:
+            best = (key, off, d0)
+    _, off, d0 = best
+    # finalists[0] is the raw confidence argmin; when the stability pick
+    # and the confidence pick agree, the evidence is consistent even if
+    # the extractor has no hop tolerance (stab then measures glyph-vs-
+    # garbage distance, not alignment) — callers use this for acceptance
+    conf_agrees = off == finalists[0]
+    return off, d0, confidence(d0), best[0][0], conf_agrees
 
 
 def piecewise_offset_search(wave: np.ndarray, extract_fn,
                             offsets=range(-48, 49, 2),
+                            roll_fns: Optional[Tuple[Callable,
+                                                     Callable]] = None,
+                            block: int = 16,
                             ) -> Tuple[np.ndarray, float]:
     """Per-clip offset repair for PROGRESSIVE drift (deletion attacks):
     after the global length restore, the residual misalignment is a slow
@@ -168,10 +293,36 @@ def piecewise_offset_search(wave: np.ndarray, extract_fn,
     different between clips. Extract at every offset in ``offsets`` and
     compose the result by taking, for each clip, the decode with the
     best per-clip saturation. Returns (decodes, confidence of the
-    composition). Purely blind, like the global search."""
+    composition). Purely blind, like the global search.
+
+    With ``roll_fns``, saturations come from device-side roll scoring
+    (cheap), and only the per-clip WINNING offsets are decoded in full
+    (one decode_rolls block)."""
+    offsets = [int(o) for o in offsets]
+    if roll_fns is not None:
+        score_rolls, decode_rolls = roll_fns
+        sat_rows = []
+        for i in range(0, len(offsets), block):
+            blk = offsets[i:i + block]
+            padded = blk + [0] * (block - len(blk))
+            _, sat = score_rolls(np.asarray(padded, np.int32))
+            sat_rows.extend(sat[:len(blk)])
+        sat = np.stack(sat_rows)             # (n_offsets, n_clips)
+        pick = np.argmin(sat, axis=0)        # per-clip winning offset idx
+        uniq = sorted({offsets[p] for p in pick})
+        dec_u = []
+        for i in range(0, len(uniq), block):
+            blk = uniq[i:i + block]
+            padded = blk + [0] * (block - len(blk))
+            dec_u.extend(decode_rolls(np.asarray(padded,
+                                                 np.int32))[:len(blk)])
+        by_off = dict(zip(uniq, dec_u))
+        out = np.stack([by_off[offsets[p]][c]
+                        for c, p in enumerate(pick)])
+        return out, confidence(out)
     sats, decs = [], []
     for off in offsets:
-        d = np.asarray(extract_fn(np.roll(wave, -int(off))))
+        d = np.asarray(extract_fn(np.roll(wave, -off)))
         decs.append(d)
         sats.append(np.mean(np.minimum(d, 1.0 - d), axis=(1, 2, 3)))
     sat = np.stack(sats)                     # (n_offsets, n_clips)
@@ -185,6 +336,7 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
                    extract_fn: Callable[[np.ndarray], np.ndarray],
                    pitch_steps: Tuple[float, ...] = (6.0, -6.0),
                    max_shift: int = 1024,
+                   make_roll_fns: Optional[Callable] = None,
                    ) -> Tuple[np.ndarray, np.ndarray, str, float]:
     """Run ``extract_fn`` (wave -> per-clip decodes) over the candidate
     set and return (best_wave, best_decodes, candidate_name, score).
@@ -195,6 +347,7 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
     time_shift), a +-64 refinement window otherwise (residual offset
     after the length-restoring resample/unstretch)."""
     best = None
+    anchor = None        # best ROLL-REPAIRABLE candidate (see below)
     saw_deletion_tail = False
     for name, wave in resync_candidates(att_audio, expected_len,
                                         pitch_steps=pitch_steps):
@@ -203,7 +356,18 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         score = confidence(dec)
         if best is None or score < best[3]:
             best = (wave, dec, name, score)
-    if best[3] >= LOCK_THRESHOLD:
+        # Pitch candidates are a TERMINAL hypothesis: either the inverse
+        # pitch shift locks outright or the hypothesis is wrong — a roll
+        # or piecewise repair of a pitch-shifted wave can never lock.
+        # Anchoring the fallback searches on "whichever unlocked
+        # candidate scored lowest" let a pitch wave win the coin flip
+        # among garbage scores (~0.165 vs ~0.17) and sent the roll
+        # search down a dead end (measured: time_shift-300 stayed at
+        # WM-MSE 0.073 because offset_search crawled pitch[-6]).
+        if not name.startswith("pitch[") and (
+                anchor is None or score < anchor[3]):
+            anchor = (wave, dec, name, score)
+    if best[3] >= LOCK_THRESHOLD and anchor is not None:
         length_matched = np.asarray(att_audio).reshape(-1).shape[-1] \
             == expected_len
         # full-window roll only for a suspected pure constant shift
@@ -211,13 +375,33 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         # progressive drift or pitch, so elsewhere just refine +-64
         window = max_shift if (length_matched
                                and not saw_deletion_tail) else 64
-        off, dec, c = offset_search(best[0], extract_fn, max_shift=window)
-        if c < best[3]:
-            rolled = np.roll(best[0], -off)
-            best = (rolled, dec, f"{best[2]}+roll[{-off:+d}]", c)
-    if best[3] >= LOCK_THRESHOLD:
+        if make_roll_fns is not None:
+            off, dec, c, stab, conf_agrees = lattice_offset_search(
+                anchor[0], make_roll_fns(anchor[0]), max_shift=window)
+            # hop-stability gate (see STABILITY_LOCK): without it,
+            # lattice hallucinations pass the confidence margins;
+            # conf_agrees covers extractors without hop tolerance
+            accepted = (stab <= STABILITY_LOCK or conf_agrees) and (
+                c < ACCEPT_THRESHOLD or c < anchor[3] - REPAIR_MARGIN)
+        else:
+            off, dec, c = offset_search(anchor[0], extract_fn,
+                                        max_shift=window)
+            # margin acceptance: a roll that merely edges out the
+            # unrolled anchor (e.g. 0.112 vs 0.122 on an aligned-but-
+            # noisy awgn decode) is saturation hacking, not a repair; an
+            # unambiguous lock (< ACCEPT_THRESHOLD) is always believed
+            accepted = (c < ACCEPT_THRESHOLD
+                        or c < anchor[3] - REPAIR_MARGIN)
+        if accepted:
+            rolled = np.roll(anchor[0], -off)
+            anchor = (rolled, dec, f"{anchor[2]}+roll[{-off:+d}]", c)
+        if anchor[3] < best[3]:
+            best = anchor
+    if best[3] >= LOCK_THRESHOLD and anchor is not None:
         # still no global lock: progressive-drift repair, clip by clip
-        dec, c = piecewise_offset_search(best[0], extract_fn)
-        if c < best[3]:
-            best = (best[0], dec, f"{best[2]}+piecewise", c)
+        roll_fns = make_roll_fns(anchor[0]) if make_roll_fns else None
+        dec, c = piecewise_offset_search(anchor[0], extract_fn,
+                                         roll_fns=roll_fns)
+        if c < ACCEPT_THRESHOLD or c < best[3] - REPAIR_MARGIN:
+            best = (anchor[0], dec, f"{anchor[2]}+piecewise", c)
     return best

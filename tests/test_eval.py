@@ -141,3 +141,42 @@ def test_bucketed_embed_matches_unbucketed_numerics():
     L = len(wave)
     np.testing.assert_allclose(np.asarray(r1)[:L], np.asarray(r2)[:L],
                                atol=1e-6)
+
+
+def test_device_roll_scoring_matches_host_roll(model_a, eval_ds):
+    """_score_rolls_jit / _decode_rolls_jit roll ON DEVICE (gather mod
+    valid_len + zero tail); decodes and blind confidences must equal the
+    host path (np.roll -> pad -> _extract_jit) for every offset sign."""
+    from image_in_speech_watermarking_tpu.config import (CLIP_FRAMES,
+                                                         EVAL_HOP,
+                                                         EVAL_N_FFT)
+    from image_in_speech_watermarking_tpu.dsp.stft import num_frames
+    from image_in_speech_watermarking_tpu.eval import pipeline as P
+    from image_in_speech_watermarking_tpu.eval import sync
+
+    model, variables = model_a
+    wave = eval_ds.utterance(0)[0]
+    L = len(wave)
+    Lb = P._bucket(L, lo=16000)
+    n_att = -(-num_frames(L, EVAL_N_FFT, EVAL_HOP) // CLIP_FRAMES)
+    offs = np.asarray([0, 7, -13, 255], np.int32)
+
+    dev = P._decode_rolls_jit(model, variables,
+                              jnp.asarray(np.pad(wave, (0, Lb - L))),
+                              jnp.asarray(offs), "modelA", "0",
+                              jnp.int32(L))
+    dev = np.asarray(dev)[:, :n_att]
+    conf_dev, sat_dev = P._score_rolls_jit(
+        model, variables, jnp.asarray(np.pad(wave, (0, Lb - L))),
+        jnp.asarray(offs), "modelA", "0", jnp.int32(L), jnp.int32(n_att))
+
+    for i, off in enumerate(offs):
+        rolled = np.pad(np.roll(wave, -int(off)), (0, Lb - L))
+        host = np.asarray(P._extract_jit(model, variables,
+                                         jnp.asarray(rolled),
+                                         "modelA", "0"))[:n_att]
+        np.testing.assert_allclose(dev[i], host, atol=2e-5)
+        assert abs(float(conf_dev[i]) - sync.confidence(host)) < 1e-4
+        sat_host = np.mean(np.minimum(host, 1.0 - host), axis=(1, 2, 3))
+        np.testing.assert_allclose(sat_dev[i][:n_att], sat_host,
+                                   atol=1e-4)

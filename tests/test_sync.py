@@ -100,6 +100,81 @@ def test_offset_search_recovers_exact_shift():
     assert conf < sync.LOCK_THRESHOLD
 
 
+def _host_roll_fns(wave, extract):
+    """Emulate the pipeline's device-roll scorers on host, for tests."""
+    def score_rolls(offs):
+        confs, sats = [], []
+        for o in offs:
+            d = np.asarray(extract(np.roll(wave, -int(o))))
+            confs.append(sync.confidence(d))
+            sats.append(np.mean(np.minimum(d, 1.0 - d), axis=(1, 2, 3)))
+        return np.asarray(confs), np.stack(sats)
+
+    def decode_rolls(offs):
+        return np.stack([np.asarray(extract(np.roll(wave, -int(o))))
+                         for o in offs])
+
+    return score_rolls, decode_rolls
+
+
+def test_lattice_search_rejects_hop_hallucination():
+    """A hop-lattice impostor that OUT-SCORES the true offset on blind
+    confidence must lose to the true offset on hop-stability (the
+    measured flagship failure mode: true+8hops scored 0.0774 vs 0.0889
+    at true, decode garbage)."""
+    rng = np.random.default_rng(0)
+    L, hop, true_shift = 16000, 63, 203
+    wave = data.synthetic_speech(L, seed=6)
+    att = np.roll(wave, true_shift)
+    glyph = np.tile((rng.random((1, 32, 32, 1)) > 0.5).astype(np.float32),
+                    (4, 1, 1, 1))
+    glyph2 = np.tile((rng.random((1, 32, 32, 1)) > 0.5).astype(np.float32),
+                     (4, 1, 1, 1))
+
+    def extract(w):
+        # roll error of this candidate wave vs the embedded signal;
+        # the lock degrades gracefully for +-1 sample (like the real
+        # decoder, so the stride-3 coarse crawl can find the basin) and
+        # is hop-tolerant (same glyph at 0 and +-1 hop)
+        for base in (0, hop, -hop):
+            for err, slack in ((0, 0.01), (1, 0.04), (-1, 0.04)):
+                if np.allclose(np.roll(w, base + err), wave):
+                    return np.clip(glyph + slack, 0, 1 - slack)
+        for err in (0, 1, -1):
+            if np.allclose(np.roll(w, 8 * hop + err), wave):
+                # hallucination at true+8hops: MORE saturated, different
+                # glyph, not hop-stable
+                return np.clip(glyph2 + 0.002, 0, 0.998)
+        return np.full((4, 32, 32, 1), 0.5, np.float32)
+
+    roll_fns = _host_roll_fns(att, extract)
+    off, dec, conf, stab, conf_agrees = sync.lattice_offset_search(
+        att, roll_fns, max_shift=768, block=64, hop=hop)
+    assert off == true_shift, off
+    assert stab <= sync.STABILITY_LOCK
+    assert not conf_agrees  # the impostor won raw confidence
+    np.testing.assert_allclose(dec, np.clip(glyph + 0.01, 0, 0.99))
+
+
+def test_piecewise_roll_fns_matches_serial():
+    wave = data.synthetic_speech(16000, seed=6)
+    att = np.roll(wave, 203)
+
+    def extract(w):
+        aligned = float(np.allclose(w, wave))
+        base = np.full((4, 32, 32, 1), 0.5, np.float32)
+        return base + 0.49 * aligned
+
+    roll_fns = _host_roll_fns(att, extract)
+    dec_s, c_s = sync.piecewise_offset_search(att, extract,
+                                              offsets=range(-8, 9, 2))
+    dec_b, c_b = sync.piecewise_offset_search(
+        att, extract, offsets=range(-8, 9, 2),
+        roll_fns=roll_fns, block=4)
+    np.testing.assert_allclose(dec_s, dec_b)
+    assert c_s == c_b
+
+
 def test_best_candidate_falls_back_to_offset_search():
     wave = data.synthetic_speech(16000, seed=4)
     att = np.asarray(wf.time_shift(jax.random.key(7), jnp.asarray(wave),
@@ -113,6 +188,32 @@ def test_best_candidate_falls_back_to_offset_search():
     _, dec, name, conf = sync.best_candidate(att, 16000, extract,
                                              max_shift=320)
     assert "roll[" in name, name
+    assert conf < sync.LOCK_THRESHOLD
+
+
+def test_offset_search_not_anchored_on_pitch_candidate(monkeypatch):
+    # regression: when no candidate locks, the roll search must anchor
+    # on a roll-repairable candidate — NOT a pitch hypothesis that
+    # happened to score marginally lower among garbage decodes
+    wave = data.synthetic_speech(16000, seed=8)
+    true_shift = 55
+    att = np.roll(wave, true_shift)
+    bait = np.asarray(data.synthetic_speech(16000, seed=9))
+
+    monkeypatch.setattr(sync, "resync_candidates",
+                        lambda a, L, **kw: [("identity", a),
+                                            ("pitch[+6]", bait)])
+
+    def extract(w):
+        if np.allclose(w, wave):                       # true repair
+            return np.full((4, 32, 32, 1), 0.99, np.float32)
+        if np.allclose(w, bait):                       # tempting garbage
+            return np.full((4, 32, 32, 1), 0.34, np.float32)  # conf 0.34
+        return np.full((4, 32, 32, 1), 0.5, np.float32)       # conf 0.5
+
+    _, dec, name, conf = sync.best_candidate(att, 16000, extract,
+                                             max_shift=64)
+    assert name.startswith("identity") and "roll[" in name, name
     assert conf < sync.LOCK_THRESHOLD
 
 
