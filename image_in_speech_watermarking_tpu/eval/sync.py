@@ -55,10 +55,17 @@ def _linear_resample(wav: np.ndarray, out_len: int) -> np.ndarray:
 
 def resync_candidates(att_audio: np.ndarray, expected_len: int,
                       pitch_steps: Tuple[float, ...] = (6.0, -6.0),
-                      vocoder_threshold: float = 0.02
+                      vocoder_threshold: float = 0.02,
+                      stage: str = "all",
                       ) -> List[Tuple[str, np.ndarray]]:
     """Candidate re-aligned waveforms (name, wave), all ``expected_len``
-    samples. Always includes the raw (length-fixed) signal first."""
+    samples. Always includes the raw (length-fixed) signal first.
+
+    ``stage``: "base" skips the pitch hypotheses, "pitch" synthesizes
+    only them — the pitch inverse runs a host phase vocoder (~1 min per
+    utterance on this 1-vCPU host), so the production search evaluates
+    the cheap candidates first and synthesizes pitch hypotheses only
+    when nothing locks (best_candidate stages)."""
     att = np.asarray(att_audio, np.float32).reshape(-1)
     L = att.shape[-1]
     cands: List[Tuple[str, np.ndarray]] = []
@@ -103,12 +110,17 @@ def resync_candidates(att_audio: np.ndarray, expected_len: int,
             # raw crop/pad candidate in case the change was trimming
             cands.append(("croppad", _fix_len(att, expected_len)))
 
-        for steps in pitch_steps:
-            # inverse of the battery's pitch_scaling(n_steps=-steps)
-            out = np.asarray(pitch_scaling(jax.random.key(0), jnp.asarray(
-                cands[0][1]), scaling_factor=float(steps)))
-            cands.append((f"pitch[{steps:+.0f}]",
-                          _fix_len(out, expected_len)))
+        if stage != "base":
+            base = cands[0][1] if cands else _fix_len(att, expected_len)
+            for steps in pitch_steps:
+                # inverse of the battery's pitch_scaling(n_steps=-steps)
+                out = np.asarray(pitch_scaling(
+                    jax.random.key(0), jnp.asarray(base),
+                    scaling_factor=float(steps)))
+                cands.append((f"pitch[{steps:+.0f}]",
+                              _fix_len(out, expected_len)))
+    if stage == "pitch":
+        cands = [c for c in cands if c[0].startswith("pitch[")]
     return cands
 
 
@@ -204,7 +216,7 @@ _EVAL_HOP = 63
 def lattice_offset_search(wave: np.ndarray,
                           roll_fns: Tuple[Callable, Callable],
                           max_shift: int = 1024, block: int = 16,
-                          hop: int = _EVAL_HOP, n_finalists: int = 12,
+                          hop: int = _EVAL_HOP, n_finalists: int = 24,
                           ) -> Tuple[int, np.ndarray, float, float]:
     """Offset search with device-roll block scoring + hop-stability
     verification; returns (offset, decodes, confidence, stability).
@@ -235,7 +247,7 @@ def lattice_offset_search(wave: np.ndarray,
             if all(abs(off - f) >= 8 for f in basins):
                 basins.append(off)
             if len(basins) >= 48 or (len(basins) >= n_finalists
-                                     and confs[off] > c_min + 0.02):
+                                     and confs[off] > c_min + 0.04):
                 break
         return basins
 
@@ -341,16 +353,22 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
     """Run ``extract_fn`` (wave -> per-clip decodes) over the candidate
     set and return (best_wave, best_decodes, candidate_name, score).
 
-    If no candidate locks (confidence >= LOCK_THRESHOLD), fall back to
-    the exact integer offset_search on the best candidate's wave: the
-    full +-max_shift window when the received length matched (a pure
+    Stages, cheapest-first (each returns as soon as something locks
+    below LOCK_THRESHOLD): (1) cheap candidates — identity / deletion
+    repair / length-restoring resample-unstretch; (2) roll search on the
+    best roll-repairable candidate; (3) pitch-inverse hypotheses (a host
+    phase vocoder, ~1 min/utterance — synthesized only if nothing
+    locked); (4) per-clip piecewise drift repair. The roll search runs
+    the full +-max_shift window when the received length matched (a pure
     time_shift), a +-64 refinement window otherwise (residual offset
     after the length-restoring resample/unstretch)."""
     best = None
     anchor = None        # best ROLL-REPAIRABLE candidate (see below)
+    anchor_verified = False
     saw_deletion_tail = False
     for name, wave in resync_candidates(att_audio, expected_len,
-                                        pitch_steps=pitch_steps):
+                                        pitch_steps=pitch_steps,
+                                        stage="base"):
         saw_deletion_tail |= name.startswith("detail[")
         dec = extract_fn(wave)
         score = confidence(dec)
@@ -363,9 +381,9 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         # candidate scored lowest" let a pitch wave win the coin flip
         # among garbage scores (~0.165 vs ~0.17) and sent the roll
         # search down a dead end (measured: time_shift-300 stayed at
-        # WM-MSE 0.073 because offset_search crawled pitch[-6]).
-        if not name.startswith("pitch[") and (
-                anchor is None or score < anchor[3]):
+        # WM-MSE 0.073 because offset_search crawled pitch[-6]); the
+        # base stage is pitch-free, so every candidate here qualifies.
+        if anchor is None or score < anchor[3]:
             anchor = (wave, dec, name, score)
     if best[3] >= LOCK_THRESHOLD and anchor is not None:
         length_matched = np.asarray(att_audio).reshape(-1).shape[-1] \
@@ -383,6 +401,12 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
             # conf_agrees covers extractors without hop tolerance
             accepted = (stab <= STABILITY_LOCK or conf_agrees) and (
                 c < ACCEPT_THRESHOLD or c < anchor[3] - REPAIR_MARGIN)
+            if off == 0 and stab <= STABILITY_LOCK:
+                # the stability winner is the UNROLLED anchor itself:
+                # the anchor is verified aligned (aligned-but-noisy
+                # decodes, e.g. awgn, land here) — the remaining warp
+                # hypotheses cannot beat a verified alignment, skip them
+                anchor_verified = True
         else:
             off, dec, c = offset_search(anchor[0], extract_fn,
                                         max_shift=window)
@@ -397,6 +421,19 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
             anchor = (rolled, dec, f"{anchor[2]}+roll[{-off:+d}]", c)
         if anchor[3] < best[3]:
             best = anchor
+    if anchor_verified:
+        return best
+    if best[3] >= LOCK_THRESHOLD:
+        # nothing locked and the alignment is not verified: synthesize
+        # the pitch-inverse hypotheses (expensive host phase vocoder,
+        # hence deferred to this stage)
+        for name, wave in resync_candidates(att_audio, expected_len,
+                                            pitch_steps=pitch_steps,
+                                            stage="pitch"):
+            dec = extract_fn(wave)
+            score = confidence(dec)
+            if score < best[3]:
+                best = (wave, dec, name, score)
     if best[3] >= LOCK_THRESHOLD and anchor is not None:
         # still no global lock: progressive-drift repair, clip by clip
         roll_fns = make_roll_fns(anchor[0]) if make_roll_fns else None

@@ -200,9 +200,12 @@ def test_offset_search_not_anchored_on_pitch_candidate(monkeypatch):
     att = np.roll(wave, true_shift)
     bait = np.asarray(data.synthetic_speech(16000, seed=9))
 
-    monkeypatch.setattr(sync, "resync_candidates",
-                        lambda a, L, **kw: [("identity", a),
-                                            ("pitch[+6]", bait)])
+    def fake_candidates(a, L, **kw):
+        if kw.get("stage") == "pitch":
+            return [("pitch[+6]", bait)]
+        return [("identity", a)]
+
+    monkeypatch.setattr(sync, "resync_candidates", fake_candidates)
 
     def extract(w):
         if np.allclose(w, wave):                       # true repair
