@@ -403,9 +403,13 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
                 c < ACCEPT_THRESHOLD or c < anchor[3] - REPAIR_MARGIN)
             if off == 0 and stab <= STABILITY_LOCK:
                 # the stability winner is the UNROLLED anchor itself:
-                # the anchor is verified aligned (aligned-but-noisy
-                # decodes, e.g. awgn, land here) — the remaining warp
-                # hypotheses cannot beat a verified alignment, skip them
+                # the anchor is verified GLOBALLY aligned (aligned-but-
+                # noisy decodes, e.g. awgn, land here) — the pitch warp
+                # hypotheses cannot beat a verified alignment, skip
+                # them. Piecewise still runs: a deletion-repaired wave
+                # is globally aligned yet carries per-clip residual
+                # drift (jitter rows measured 0.064 when the shortcut
+                # skipped piecewise vs 0.018 with it).
                 anchor_verified = True
         else:
             off, dec, c = offset_search(anchor[0], extract_fn,
@@ -421,9 +425,7 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
             anchor = (rolled, dec, f"{anchor[2]}+roll[{-off:+d}]", c)
         if anchor[3] < best[3]:
             best = anchor
-    if anchor_verified:
-        return best
-    if best[3] >= LOCK_THRESHOLD:
+    if best[3] >= LOCK_THRESHOLD and not anchor_verified:
         # nothing locked and the alignment is not verified: synthesize
         # the pitch-inverse hypotheses (expensive host phase vocoder,
         # hence deferred to this stage)
