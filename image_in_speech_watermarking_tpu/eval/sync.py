@@ -162,6 +162,23 @@ LOCK_THRESHOLD = 0.12
 # minimum, which the measurements show sits at the true offset.
 ACCEPT_THRESHOLD = 0.08
 REPAIR_MARGIN = 0.02
+# Per-clip repair gates (gated_piecewise_repair): a GLOBALLY locked
+# decode can still carry individually drifted clips (deletion repair
+# restores the global grid, the residual per-clip walk misaligns a
+# minority of clips — the jittering-1000 headline row aggregated to
+# 0.066 this way: most clips at ~0.003, a drifted minority at garbage
+# level, global confidence under LOCK_THRESHOLD so no repair stage
+# ran). Per-clip saturation separates the populations (locked clips
+# ~0.06-0.09, aligned-but-noisy ~0.12, misaligned garbage >= 0.13), so
+# clips above CLIP_UNLOCKED get an individual offset search and a
+# replacement is believed only if it lands BELOW CLIP_ACCEPT (an
+# unambiguous per-clip lock) and improves by CLIP_MARGIN — locked clips
+# are never touched, and a noisy-but-aligned clip cannot be stolen by a
+# saturation-hacked wrong offset (those never reach 0.10).
+CLIP_UNLOCKED = 0.12
+CLIP_ACCEPT = 0.10
+CLIP_MARGIN = 0.02
+
 # Hop-lattice hallucinations: offsets that differ from the true shift
 # by exact multiples of the eval STFT hop (63 samples) shift the
 # spectrogram by whole frames, and the extractor then decodes a STABLE
@@ -344,6 +361,52 @@ def piecewise_offset_search(wave: np.ndarray, extract_fn,
     return out, confidence(out)
 
 
+def gated_piecewise_repair(decodes: np.ndarray,
+                           roll_fns: Tuple[Callable, Callable],
+                           offsets=range(-48, 49, 2),
+                           block: int = 16) -> np.ndarray:
+    """Per-clip drift repair for a GLOBALLY locked decode (see the
+    CLIP_UNLOCKED note): clips whose per-clip saturation exceeds
+    CLIP_UNLOCKED are re-searched over ``offsets``; a replacement is
+    accepted only when its saturation is an unambiguous per-clip lock
+    (< CLIP_ACCEPT) and beats the current clip by CLIP_MARGIN. Locked
+    clips pass through untouched. Returns the (possibly) repaired
+    decode array."""
+    dec = np.asarray(decodes)
+    sat0 = np.mean(np.minimum(dec, 1.0 - dec), axis=(1, 2, 3))
+    broken = np.nonzero(sat0 > CLIP_UNLOCKED)[0]
+    if broken.size == 0:
+        return dec
+    score_rolls, decode_rolls = roll_fns
+    offsets = [int(o) for o in offsets]
+    sat_rows = []
+    for i in range(0, len(offsets), block):
+        blk = offsets[i:i + block]
+        padded = blk + [0] * (block - len(blk))
+        _, sat = score_rolls(np.asarray(padded, np.int32))
+        sat_rows.extend(sat[:len(blk)])
+    sat = np.stack(sat_rows)                 # (n_offsets, n_clips)
+    # winning offset per broken clip, gated
+    pick = {}
+    for c in broken:
+        j = int(np.argmin(sat[:, c]))
+        if sat[j, c] < CLIP_ACCEPT and sat[j, c] < sat0[c] - CLIP_MARGIN:
+            pick[int(c)] = offsets[j]
+    if not pick:
+        return dec
+    uniq = sorted(set(pick.values()))
+    dec_u = []
+    for i in range(0, len(uniq), block):
+        blk = uniq[i:i + block]
+        padded = blk + [0] * (block - len(blk))
+        dec_u.extend(decode_rolls(np.asarray(padded, np.int32))[:len(blk)])
+    by_off = dict(zip(uniq, dec_u))
+    out = dec.copy()
+    for c, off in pick.items():
+        out[c] = by_off[off][c]
+    return out
+
+
 def best_candidate(att_audio: np.ndarray, expected_len: int,
                    extract_fn: Callable[[np.ndarray], np.ndarray],
                    pitch_steps: Tuple[float, ...] = (6.0, -6.0),
@@ -443,4 +506,10 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
                                          roll_fns=roll_fns)
         if c < ACCEPT_THRESHOLD or c < best[3] - REPAIR_MARGIN:
             best = (anchor[0], dec, f"{anchor[2]}+piecewise", c)
+    if best[3] < LOCK_THRESHOLD and make_roll_fns is not None:
+        # globally locked, but a drifted minority of clips may remain
+        # (none of the repair stages above ran) — per-clip gated repair
+        dec = gated_piecewise_repair(best[1], make_roll_fns(best[0]))
+        if dec is not best[1]:
+            best = (best[0], dec, f"{best[2]}+clipfix", confidence(dec))
     return best

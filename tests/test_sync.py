@@ -256,3 +256,47 @@ def test_piecewise_offset_search_repairs_progressive_drift():
                                              offsets=range(-8, 9, 2))
     # every clip found its own offset -> all saturated
     assert float(np.mean(np.minimum(dec, 1 - dec))) < 0.02
+
+
+def test_gated_piecewise_repair_fixes_only_unambiguous_clips():
+    """A globally locked decode with a drifted minority: only clips
+    whose re-search lands an unambiguous per-clip lock (< CLIP_ACCEPT)
+    are replaced; locked and aligned-but-noisy clips pass through, and
+    a weak (ambiguous) candidate replacement is rejected."""
+    rng = np.random.default_rng(9)
+    glyph_a = (rng.random((32, 32, 1)) > 0.5).astype(np.float32)
+    glyph_b = (rng.random((32, 32, 1)) > 0.5).astype(np.float32)
+    locked = np.clip(glyph_a + 0.02, 0.0, 0.98)          # sat 0.02
+    locked_b = np.clip(glyph_b + 0.03, 0.0, 0.97)        # sat 0.03
+    noisy = glyph_a * 0.78 + 0.11                        # sat 0.11
+    weak = glyph_b * 0.78 + 0.11                         # sat 0.11
+    garbage = np.full((32, 32, 1), 0.5, np.float32)
+    true_off = 24                                        # in the grid
+
+    def decode_rolls(offs):
+        out = []
+        for o in offs:
+            o = int(o)
+            c01 = locked if o == 0 else garbage
+            c2 = locked_b if o == true_off else garbage  # repairable
+            c3 = noisy if o == 0 else garbage            # aligned-noisy
+            c4 = weak if o == -10 else garbage           # ambiguous
+            out.append(np.stack([c01, c01, c2, c3, c4]))
+        return np.stack(out)
+
+    def score_rolls(offs):
+        d = decode_rolls(offs)
+        sats = np.mean(np.minimum(d, 1.0 - d), axis=(2, 3, 4))
+        return np.array([sync.confidence(x) for x in d]), sats
+
+    dec0 = decode_rolls([0])[0]
+    out = sync.gated_piecewise_repair(dec0, (score_rolls, decode_rolls))
+    np.testing.assert_array_equal(out[0], locked)        # untouched
+    np.testing.assert_array_equal(out[2], locked_b)      # repaired
+    np.testing.assert_array_equal(out[3], noisy)         # untouched
+    np.testing.assert_array_equal(out[4], garbage)       # rejected
+
+    # all-locked decode: identity fast path (no roll calls believed)
+    all_locked = np.stack([locked] * 4)
+    assert sync.gated_piecewise_repair(
+        all_locked, (score_rolls, decode_rolls)) is all_locked
