@@ -3,8 +3,12 @@ production UformerAudio, real TPU chip.
 
 Metric: audio-seconds processed per wall-clock second (x realtime) for the
 full watermark pipeline forward (embed incl. in-graph ISTFT->STFT channel
-sim + extract), batch 32, f32. Baseline (BASELINE.md north star): 100x
-realtime per chip. Prints ONE JSON line.
+sim + extract). Headline is the bf16 compute policy (f32 LayerNorm/softmax
+/DFT); an f32-everywhere operating point is reported alongside, plus the
+bf16-vs-f32 decode agreement (fraction of thresholded payload bits that
+match — the numerical-fidelity check for running inference in bf16).
+Baseline (BASELINE.md north star): 100x realtime per chip. Prints ONE
+JSON line.
 """
 
 from __future__ import annotations
@@ -64,6 +68,8 @@ def main():
     base = models.get_arch("Uformer_audio")
     model = models.UformerAudio(
         dataclasses.replace(base.cfg, compute_dtype="bfloat16"))
+    model_f32 = models.UformerAudio(
+        dataclasses.replace(base.cfg, compute_dtype="float32"))
 
     # Batch is a free serving knob for an offline/bulk watermarker; the
     # headline is the best-throughput operating point over BATCHES.
@@ -75,6 +81,12 @@ def main():
         per_batch[f"fwd_ms_b{batch}"] = round(dt * 1e3, 1)
         if best is None or x_rt > best[1]:
             best = (batch, x_rt)
+    # f32-everywhere operating point at the bf16 winner's batch, plus the
+    # numerical check: same weights/inputs under both policies, fraction
+    # of thresholded payload bits agreeing and max decode deviation
+    dt32 = _bench_batch(model_f32, best[0])
+    per_batch["x_realtime_f32"] = round(best[0] * CLIP_SECONDS / dt32, 1)
+    per_batch.update(_bf16_fidelity(model, model_f32, best[0]))
 
     extra = _train_step_metrics()
     print(json.dumps({
@@ -86,6 +98,31 @@ def main():
         **per_batch,
         **extra,
     }))
+
+
+def _bf16_fidelity(model_bf16, model_f32, batch: int) -> dict:
+    """Same params + inputs under both compute policies: BER delta
+    (fraction of thresholded payload bits that DISAGREE between bf16 and
+    f32 decodes) and max decode deviation. The param trees are dtype-
+    independent (policy casts at apply time), so f32 params serve both."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(
+        (batch, 128, 128, 2)).astype(np.float32) * 0.1)
+    msg = jnp.asarray(rng.uniform(size=(batch, 32, 32, 1)).astype(
+        np.float32))
+    params = jax.jit(model_f32.init)(jax.random.key(0), x, msg)
+    wm16 = np.asarray(jax.jit(
+        lambda p, a, m: model_bf16.apply(p, a, m)[3])(params, x, msg))
+    wm32 = np.asarray(jax.jit(
+        lambda p, a, m: model_f32.apply(p, a, m)[3])(params, x, msg))
+    bits16 = np.round(np.clip(wm16, 0, 1))
+    bits32 = np.round(np.clip(wm32, 0, 1))
+    return {
+        "bf16_vs_f32_bit_disagree": round(
+            float(np.mean(np.abs(bits16 - bits32))), 6),
+        "bf16_vs_f32_max_dev": round(
+            float(np.abs(wm16 - wm32).max()), 6),
+    }
 
 
 def _train_step_metrics() -> dict:

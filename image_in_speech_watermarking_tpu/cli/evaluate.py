@@ -61,6 +61,10 @@ def main(argv=None):
                         "checkpoint's training run (see PARITY.md)")
     p.add_argument("--no-stft_residual", dest="stft_residual",
                    action="store_false")
+    p.add_argument("--extractor_mag", action="store_true",
+                   help="phase-invariant |STFT| extractor channel; must "
+                        "match the checkpoint's training run (see "
+                        "UformerConfig.extractor_mag)")
     p.add_argument("--splits", default="train,test",
                    help="comma list of splits to sweep (the reference "
                         "always does both, evaluate.py:327-331; a single "
@@ -68,7 +72,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     model = models.get_arch(args.arch, embed_dim=args.embed_dim,
-                            stft_residual=args.stft_residual)
+                            stft_residual=args.stft_residual,
+                            extractor_mag=args.extractor_mag)
     model_name = "modelA" if args.arch == "ModelA" else "uformer"
 
     msgs = data.digit_watermarks(8, seed=0) \

@@ -72,12 +72,23 @@ def main(argv=None):
                    help="adversarial objective: 'bce' (reference parity) "
                         "or 'lsgan' (saturation-free; stabilizes long "
                         "noise-regime runs)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA of enc/dec params; >0 validates and ships "
+                        "the EMA weights (late-GAN-oscillation "
+                        "stabilizer). validation.csv then reports the "
+                        "EMA model; validation_raw.csv keeps the raw one")
+    p.add_argument("--disc_lr", type=float, default=None,
+                   help="separate (lower) discriminator lr (TTUR)")
+    p.add_argument("--r1_gamma", type=float, default=0.0,
+                   help="R1 gradient penalty weight on cover images")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
     config = HiDDenConfig(message_length=args.message)
     noiser = parse_noise_config(args.noise)
-    net = Hidden(config, noiser=noiser, adv_loss=args.adv_loss)
+    net = Hidden(config, noiser=noiser, adv_loss=args.adv_loss,
+                 ema_decay=args.ema_decay, disc_lr=args.disc_lr,
+                 r1_gamma=args.r1_gamma)
 
     # data: time-domain clips as covers + digit watermarks as messages
     waves = data.load_corpus(args.dataset, args.size, seed=args.seed)
@@ -160,9 +171,18 @@ def main(argv=None):
                 _wm(args, args.batch_size, 500_000 + epoch * 1000 + b)
                 for b in range(nvb)])
             key, sub = jax.random.split(key)
-            vst = jax.device_get(
-                net.run_val_epoch(state, val_dev, vidx, vmsgs, sub))
+            # with EMA on, validation.csv reports the EMA (shipped)
+            # model; the raw weights go to validation_raw.csv
+            vst = jax.device_get(net.run_val_epoch(
+                net.ema_state(state), val_dev, vidx, vmsgs, sub))
             vavg = {k: float(np.mean(v)) for k, v in vst.items()}
+            if state.ema is not None:
+                vraw = jax.device_get(net.run_val_epoch(
+                    state, val_dev, vidx, vmsgs, sub))
+                write_losses(
+                    os.path.join(run_dir, "validation_raw.csv"),
+                    {k: float(np.mean(v)) for k, v in vraw.items()},
+                    epoch, 0.0)
             write_losses(os.path.join(run_dir, "validation.csv"), vavg,
                          epoch, time.time() - tv)
             print(f"  val {epoch}: " + " ".join(

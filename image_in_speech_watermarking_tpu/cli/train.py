@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_false",
                    help="reference-parity plain conv stack "
                         "(model.py:2465)")
+    p.add_argument("--extractor_mag", action="store_true",
+                   help="phase-invariant payload channel: the extractor "
+                        "reads |STFT| as a third input channel (see "
+                        "UformerConfig.extractor_mag; beyond reference "
+                        "parity — defends the whole-wave vocoder "
+                        "attacks). --init_from checkpoints without it "
+                        "are poured via zero-pad surgery")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype for matmuls/convs (MXU); norms, "
@@ -127,6 +134,7 @@ def main(argv=None) -> str:
         win_size=args.win_size, token_projection=args.token_projection,
         token_mlp=args.token_mlp, dd_in=args.dd_in,
         compute_dtype=args.dtype, stft_residual=args.stft_residual,
+        extractor_mag=args.extractor_mag,
         **({"use_remat": True} if args.remat
            and args.arch == "Uformer_audio" else {}))
 

@@ -71,6 +71,20 @@ class UformerConfig:
     # tree — records which function a checkpoint computes; it is saved
     # in each run's exp_config.json and must match at restore time.
     stft_residual: bool = True
+    # Phase-invariant payload channel (round-4 quality work, beyond
+    # reference parity): feed the extractor a third input channel
+    # |STFT| = sqrt(re^2+im^2) alongside real/imag. Whole-wave phase-
+    # vocoder attacks (time/pitch scaling) decohere accumulated synthesis
+    # phase — effectively a random smooth all-pass — which destroys the
+    # real/imag embedding but approximately preserves magnitudes, and the
+    # extractor's alignment basin widens from +-0 samples (a 1-sample
+    # shift rotates every n_fft=255 bin's phase) to the magnitude
+    # envelope's tolerance. False = reference parity
+    # (model.py:1428-1583 reads 2-channel real/imag only). Changes the
+    # extractor input_proj kernel 2->3 in-channels; checkpoints trained
+    # without it are poured via zero-pad surgery (trainer._restore_state)
+    # so the initial function is exactly the 2-channel one.
+    extractor_mag: bool = False
     # TPU compute dtype policy: matmuls/convs run in this dtype;
     # LayerNorm, softmax, the DFT and output projections stay f32.
     compute_dtype: str = "float32"

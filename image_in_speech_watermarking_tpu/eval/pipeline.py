@@ -48,6 +48,10 @@ class UtteranceResult:
     snr: float
     pesq: Optional[float]
     n_clips: int
+    # thresholded payload bitwise error (the north-star metric,
+    # hidden/test_model.py:60-64) vs the binarized message
+    ber: float = float("nan")
+    ber_att: float = float("nan")
 
 
 def _model_embed_fwd(model, variables, clips, message, model_name):
@@ -296,10 +300,18 @@ def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
         wm_decoded_att = extract(np.asarray(att_audio))
 
     audio_mse = M.mse(wave_np, recon)
-    wm_mse = M.mse(wm_decoded, np.broadcast_to(
-        np.asarray(msg_j), wm_decoded.shape))
+    msg_np = np.asarray(msg_j)
+    wm_mse = M.mse(wm_decoded, np.broadcast_to(msg_np, wm_decoded.shape))
     wm_mse_att = M.mse(wm_decoded_att, np.broadcast_to(
-        np.asarray(msg_j), wm_decoded_att.shape))
+        msg_np, wm_decoded_att.shape))
+    # thresholded payload bits (north-star metric): both sides binarized
+    # the reference way (hidden/test_model.py:60-64); digit-glyph
+    # messages binarize to their stencil
+    msg_bits = np.round(np.clip(msg_np, 0.0, 1.0))
+    ber = M.bitwise_error(wm_decoded,
+                          np.broadcast_to(msg_bits, wm_decoded.shape))
+    ber_att = M.bitwise_error(
+        wm_decoded_att, np.broadcast_to(msg_bits, wm_decoded_att.shape))
     snr = M.cal_snr(wave_np, att_audio)
     pesq = M.cal_pesq(wave_np, att_audio)
 
@@ -308,4 +320,4 @@ def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
         wm_decoded=wm_decoded,
         wm_decoded_att=wm_decoded_att,
         audio_mse=audio_mse, wm_mse=wm_mse, wm_mse_att=wm_mse_att,
-        snr=snr, pesq=pesq, n_clips=n_true)
+        snr=snr, pesq=pesq, n_clips=n_true, ber=ber, ber_att=ber_att)

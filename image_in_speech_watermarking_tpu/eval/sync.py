@@ -178,6 +178,18 @@ REPAIR_MARGIN = 0.02
 CLIP_UNLOCKED = 0.12
 CLIP_ACCEPT = 0.10
 CLIP_MARGIN = 0.02
+# Per-clip hop-stability gate (gated_piecewise_repair): saturation alone
+# cannot reject hop-lattice impostors — a clip drifted >= 15 samples has
+# an impostor offset (d -+ 63) inside the +-48 search grid that decodes a
+# STABLE wrong glyph under CLIP_ACCEPT (the measured 0.0774-confidence
+# impostors of the STABILITY_LOCK note sit below the 0.10 gate). So an
+# accepted per-clip replacement must ALSO be invariant to a further +-1
+# hop roll, like the global search's finalists. The per-clip threshold is
+# looser than the global STABILITY_LOCK (0.0025, a mean over all clips)
+# because a single clip's stability is one sample of that mean: measured
+# on the jittering-1000 probe, true-offset clips sit at 0.0005-0.0028 and
+# impostor clips at >= 0.0060.
+CLIP_STABILITY = 0.0045
 
 # Hop-lattice hallucinations: offsets that differ from the true shift
 # by exact multiples of the eval STFT hop (63 samples) shift the
@@ -364,47 +376,93 @@ def piecewise_offset_search(wave: np.ndarray, extract_fn,
 def gated_piecewise_repair(decodes: np.ndarray,
                            roll_fns: Tuple[Callable, Callable],
                            offsets=range(-48, 49, 2),
-                           block: int = 16) -> np.ndarray:
+                           block: int = 16,
+                           hop: int = _EVAL_HOP,
+                           ) -> Tuple[np.ndarray, bool]:
     """Per-clip drift repair for a GLOBALLY locked decode (see the
     CLIP_UNLOCKED note): clips whose per-clip saturation exceeds
-    CLIP_UNLOCKED are re-searched over ``offsets``; a replacement is
-    accepted only when its saturation is an unambiguous per-clip lock
-    (< CLIP_ACCEPT) and beats the current clip by CLIP_MARGIN. Locked
-    clips pass through untouched. Returns the (possibly) repaired
-    decode array."""
+    CLIP_UNLOCKED are re-searched over ``offsets`` (coarse stride-2 grid,
+    then each broken clip's winner refined at stride 1 — the lock basin
+    is sample-exact, so an odd-sample drift lands one off the even grid
+    and would otherwise be rejected by the CLIP_ACCEPT gate). A
+    replacement is accepted only when its saturation is an unambiguous
+    per-clip lock (< CLIP_ACCEPT), beats the current clip by CLIP_MARGIN,
+    AND its decode is invariant to a further +-1 hop roll
+    (CLIP_STABILITY — hop-lattice impostors decode stable wrong glyphs
+    under the saturation gate). Locked clips pass through untouched.
+    Returns (decodes, changed)."""
     dec = np.asarray(decodes)
     sat0 = np.mean(np.minimum(dec, 1.0 - dec), axis=(1, 2, 3))
     broken = np.nonzero(sat0 > CLIP_UNLOCKED)[0]
     if broken.size == 0:
-        return dec
+        return dec, False
     score_rolls, decode_rolls = roll_fns
     offsets = [int(o) for o in offsets]
-    sat_rows = []
-    for i in range(0, len(offsets), block):
-        blk = offsets[i:i + block]
-        padded = blk + [0] * (block - len(blk))
-        _, sat = score_rolls(np.asarray(padded, np.int32))
-        sat_rows.extend(sat[:len(blk)])
+
+    def score_many(offs):
+        rows = []
+        for i in range(0, len(offs), block):
+            blk = offs[i:i + block]
+            padded = blk + [0] * (block - len(blk))
+            _, sat = score_rolls(np.asarray(padded, np.int32))
+            rows.extend(sat[:len(blk)])
+        return rows
+
+    sat_rows = score_many(offsets)
+    # coarse winners -> stride-1 refinement around each broken clip's
+    # winner (coarse->refine, mirroring lattice_offset_search)
     sat = np.stack(sat_rows)                 # (n_offsets, n_clips)
-    # winning offset per broken clip, gated
+    coarse = {int(offsets[int(np.argmin(sat[:, c]))]) for c in broken}
+    refine = sorted({w + d for w in coarse for d in (-1, 1)}
+                    - set(offsets))
+    if refine:
+        sat_rows.extend(score_many(refine))
+        offsets = offsets + refine
+        sat = np.stack(sat_rows)
+    # winning offset per broken clip, saturation-gated
     pick = {}
     for c in broken:
         j = int(np.argmin(sat[:, c]))
         if sat[j, c] < CLIP_ACCEPT and sat[j, c] < sat0[c] - CLIP_MARGIN:
             pick[int(c)] = offsets[j]
     if not pick:
-        return dec
+        return dec, False
+    # Decode a 5-point hop lattice {o-2h, o-h, o, o+h, o+2h} around each
+    # winning offset: the winner's saturation cannot distinguish the true
+    # lock from its own +-1-hop lattice neighbour (the true offset's
+    # decode IS hop-stable, so the neighbour is equally saturated), so
+    # each of {o, o+-hop} is a candidate and the per-clip hop-stability
+    # gate (CLIP_STABILITY) arbitrates; among stable candidates the most
+    # saturated-locked one wins. Hop-lattice impostors fail the gate on
+    # both sides (measured >= 0.0060 per clip).
     uniq = sorted(set(pick.values()))
+    lattice = (-2 * hop, -hop, 0, hop, 2 * hop)
+    probe = [o + d for o in uniq for d in lattice]
     dec_u = []
-    for i in range(0, len(uniq), block):
-        blk = uniq[i:i + block]
+    for i in range(0, len(probe), block):
+        blk = probe[i:i + block]
         padded = blk + [0] * (block - len(blk))
         dec_u.extend(decode_rolls(np.asarray(padded, np.int32))[:len(blk)])
-    by_off = dict(zip(uniq, dec_u))
+    by_off = {o: dec_u[5 * j:5 * j + 5] for j, o in enumerate(uniq)}
     out = dec.copy()
+    changed = False
     for c, off in pick.items():
-        out[c] = by_off[off][c]
-    return out
+        row = by_off[off]
+        best = None
+        for k in (2, 1, 3):                   # candidates o, o-hop, o+hop
+            d0, dm, dp = row[k][c], row[k - 1][c], row[k + 1][c]
+            stab = 0.5 * (float(np.mean((d0 - dp) ** 2))
+                          + float(np.mean((d0 - dm) ** 2)))
+            sat_c = float(np.mean(np.minimum(d0, 1.0 - d0)))
+            if stab > CLIP_STABILITY or sat_c >= CLIP_ACCEPT \
+                    or sat_c >= sat0[c] - CLIP_MARGIN:
+                continue
+            if best is None or sat_c < best[0]:
+                best = (sat_c, d0)
+        if best is not None:
+            out[c] = best[1]
+            changed = True
+    return out, changed
 
 
 def best_candidate(att_audio: np.ndarray, expected_len: int,
@@ -508,8 +566,14 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
             best = (anchor[0], dec, f"{anchor[2]}+piecewise", c)
     if best[3] < LOCK_THRESHOLD and make_roll_fns is not None:
         # globally locked, but a drifted minority of clips may remain
-        # (none of the repair stages above ran) — per-clip gated repair
-        dec = gated_piecewise_repair(best[1], make_roll_fns(best[0]))
-        if dec is not best[1]:
-            best = (best[0], dec, f"{best[2]}+clipfix", confidence(dec))
+        # (none of the repair stages above ran) — per-clip gated repair.
+        # Accepted only if the composed confidence does not regress (a
+        # repair that lowers every repaired clip's saturation but raises
+        # cross-clip variance replaced glyphs with consistent garbage).
+        dec, changed = gated_piecewise_repair(best[1],
+                                              make_roll_fns(best[0]))
+        if changed:
+            c_new = confidence(dec)
+            if c_new <= best[3]:
+                best = (best[0], dec, f"{best[2]}+clipfix", c_new)
     return best

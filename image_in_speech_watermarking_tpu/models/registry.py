@@ -23,6 +23,7 @@ def get_arch(arch: str, train_ps: int = 128, embed_dim: int = 32,
             depths=(1, 2, 8, 8, 2, 8, 8, 2, 1), modulator=True,
             compute_dtype=compute_dtype,
             stft_residual=kw.pop("stft_residual", True),
+            extractor_mag=kw.pop("extractor_mag", False),
             use_pallas_attention=kw.pop("use_pallas_attention", False),
             use_pallas_block=kw.pop("use_pallas_block", False))
         return uformer.UformerAudio(cfg, **kw)

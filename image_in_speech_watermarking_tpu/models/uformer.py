@@ -180,6 +180,15 @@ class EncoderTransformerWM(nn.Module):
     @nn.compact
     def __call__(self, y: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.cfg
+        if cfg.extractor_mag:
+            # Phase-invariant payload channel (see UformerConfig
+            # .extractor_mag): |STFT| from the clip's real/imag planes,
+            # f32 sqrt for gradient stability near 0. The reference
+            # extractor reads real/imag only (model.py:1428-1583).
+            ri = y[..., :2].astype(jnp.float32)
+            mag = jnp.sqrt(jnp.sum(jnp.square(ri), axis=-1,
+                                   keepdims=True) + 1e-12)
+            y = jnp.concatenate([y, mag.astype(y.dtype)], axis=-1)
         tokens = InputProj(cfg.embed_dim, dtype=_cdtype(cfg),
                            name="input_proj")(y)
         # Extractor encoder has no modulator/shift difference from the main

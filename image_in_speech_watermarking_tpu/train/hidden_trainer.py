@@ -43,6 +43,12 @@ class HiddenState:
     opt_enc_dec: Any
     opt_discrim: Any
     step: jnp.ndarray
+    # EMA of enc_dec params (None = disabled): the shipped/validated
+    # weights for long adversarial runs — late-training GAN oscillation
+    # (crop/cropout regimes: val bitwise error swinging 0.01<->0.35 over
+    # the last 100 epochs) averages out in parameter space while the raw
+    # weights keep training.
+    ema: Any = None
 
 
 def _bce_logits(logits, target):
@@ -65,19 +71,35 @@ class Hidden:
 
     def __init__(self, config: HiDDenConfig = HiDDenConfig(),
                  noiser=None, lr: float = 1e-3,
-                 cover_channels: int = 1, adv_loss: str = "bce"):
+                 cover_channels: int = 1, adv_loss: str = "bce",
+                 ema_decay: float = 0.0,
+                 disc_lr: Optional[float] = None,
+                 r1_gamma: float = 0.0):
         """``adv_loss``: 'bce' (reference parity) or 'lsgan'
-        (saturation-free; stabilizes long noise-regime runs)."""
+        (saturation-free; stabilizes long noise-regime runs).
+
+        Round-4 adversarial stabilizers (all off by default = reference
+        parity; for the crop/cropout regimes whose validation bitwise
+        error oscillates 0.01<->0.35 late in training):
+          ``ema_decay``: per-step EMA of the enc/dec params; the EMA
+            weights are what gets validated/shipped (state.ema).
+          ``disc_lr``: separate (lower) discriminator lr — TTUR; the
+            default ties it to ``lr``.
+          ``r1_gamma``: R1 gradient penalty (Mescheder et al. 2018)
+            gamma/2 * E||grad_x D(x)||^2 on cover images, damping the
+            discriminator's late-training sharpening."""
         assert adv_loss in ("bce", "lsgan"), adv_loss
         self.adv_loss = adv_loss
         self._gan = _bce_logits if adv_loss == "bce" else _lsgan_logits
         self.config = config
         self.noiser = noiser
+        self.ema_decay = float(ema_decay)
+        self.r1_gamma = float(r1_gamma)
         self.encoder_decoder = HiddenEncoderDecoder(
             config, cover_channels=cover_channels)
         self.discriminator = HiddenDiscriminator(config)
         self.tx_enc_dec = optax.adam(lr)
-        self.tx_discrim = optax.adam(lr)
+        self.tx_discrim = optax.adam(lr if disc_lr is None else disc_lr)
         self._train_fn = None
         self._val_fn = None
         self._raw_train = None
@@ -94,7 +116,11 @@ class Hidden:
             enc_dec=ed, discrim=d,
             opt_enc_dec=self.tx_enc_dec.init(ed["params"]),
             opt_discrim=self.tx_discrim.init(d["params"]),
-            step=jnp.zeros((), jnp.int32))
+            step=jnp.zeros((), jnp.int32),
+            # a real copy: sharing buffers with params trips double-
+            # donation in the donated train step
+            ema=(jax.tree.map(jnp.copy, ed["params"])
+                 if self.ema_decay else None))
 
     # ------------------------------------------------------------------
     def _forward(self, ed_vars, d_vars, image, message, key, train):
@@ -160,7 +186,17 @@ class Hidden:
                     jax.lax.stop_gradient(encoded))
                 bce_cover = self._gan(logits_cover, 1.0)
                 bce_enc = self._gan(logits_enc, 0.0)
-                return bce_cover + bce_enc, (bce_cover, bce_enc, d_upd)
+                d_total = bce_cover + bce_enc
+                if self.r1_gamma:
+                    # R1: gamma/2 * E||grad_x D(x)||^2 on covers — keeps
+                    # the discriminator from sharpening into the
+                    # late-training oscillation regime
+                    gx = jax.grad(lambda im: jnp.sum(
+                        self.discriminator.apply(d_vars, im)))(image)
+                    r1 = jnp.mean(jnp.sum(
+                        jnp.square(gx.reshape(gx.shape[0], -1)), axis=1))
+                    d_total = d_total + 0.5 * self.r1_gamma * r1
+                return d_total, (bce_cover, bce_enc, d_upd)
 
             (d_total, (bce_cover, bce_enc, d_upd)), d_grads = \
                 jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -175,11 +211,17 @@ class Hidden:
             new_d_params = optax.apply_updates(state.discrim["params"],
                                                d_updates)
 
+            new_ema = state.ema
+            if state.ema is not None:
+                d_ema = self.ema_decay
+                new_ema = jax.tree.map(
+                    lambda e, p: d_ema * e + (1.0 - d_ema) * p,
+                    state.ema, new_ed_params)
             new_state = HiddenState(
                 enc_dec={"params": new_ed_params, **(ed_upd or ed_stats)},
                 discrim={"params": new_d_params, **(d_upd or d_stats)},
                 opt_enc_dec=new_opt_ed, opt_discrim=new_opt_d,
-                step=state.step + 1)
+                step=state.step + 1, ema=new_ema)
             losses = {"loss": total, "encoder_mse": enc_mse,
                       "dec_mse": dec_mse, "bitwise-error": bitwise,
                       "adversarial_bce": g_bce,
@@ -283,14 +325,27 @@ class Hidden:
         return {k: float(v) for k, v in losses.items()}, tensors
 
     # ------------------------------------------------------------------
+    def ema_state(self, state: HiddenState) -> HiddenState:
+        """View of ``state`` with the EMA weights as the enc/dec params
+        (what validation/shipping uses when ema_decay is on)."""
+        if state.ema is None:
+            return state
+        stats = {k: v for k, v in state.enc_dec.items() if k != "params"}
+        return dataclasses.replace(
+            state, enc_dec={"params": state.ema, **stats})
+
     def checkpoint_payload(self, state: HiddenState, epoch: int) -> dict:
-        """The reference's checkpoint dict keys (hidden/utils.py:84-90)."""
+        """The reference's checkpoint dict keys (hidden/utils.py:84-90),
+        plus ``enc-dec-ema`` when the EMA stabilizer is on."""
         to_np = lambda t: jax.tree.map(np.asarray, t)
-        return {"enc-dec-model": to_np(state.enc_dec),
-                "enc-dec-optim": to_np(state.opt_enc_dec),
-                "discrim-model": to_np(state.discrim),
-                "discrim-optim": to_np(state.opt_discrim),
-                "epoch": epoch}
+        out = {"enc-dec-model": to_np(state.enc_dec),
+               "enc-dec-optim": to_np(state.opt_enc_dec),
+               "discrim-model": to_np(state.discrim),
+               "discrim-optim": to_np(state.opt_discrim),
+               "epoch": epoch}
+        if state.ema is not None:
+            out["enc-dec-ema"] = to_np(state.ema)
+        return out
 
     def state_from_checkpoint(self, payload: dict) -> HiddenState:
         return HiddenState(
@@ -298,4 +353,5 @@ class Hidden:
             discrim=payload["discrim-model"],
             opt_enc_dec=payload["enc-dec-optim"],
             opt_discrim=payload["discrim-optim"],
-            step=jnp.zeros((), jnp.int32))
+            step=jnp.zeros((), jnp.int32),
+            ema=payload.get("enc-dec-ema"))

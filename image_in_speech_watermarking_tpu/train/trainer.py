@@ -153,7 +153,22 @@ class Trainer:
                                                 freeze=tuple(freeze))
         self.loss_weights = loss_weights
         self.is_model_a = type(model).__name__ == "ModelA"
-        self.robust_attacks = tuple(robust_attacks)
+        # "spec*w" entries oversample a branch (w = relative draw weight)
+        # WITHOUT duplicating it in the lax.switch — duplicated branches
+        # compile twice and the remote worker has a hard program-size
+        # ceiling (ROADMAP #8). E.g. "vocoder_roundtrip-0.9*3".
+        specs, weights = [], []
+        for s in robust_attacks:
+            if "*" in s:
+                spec, _, w = s.rpartition("*")
+                specs.append(spec)
+                weights.append(float(w))
+            else:
+                specs.append(s)
+                weights.append(1.0)
+        self.robust_attacks = tuple(specs)
+        self.robust_probs = (np.asarray(weights) / np.sum(weights)
+                             if specs else None)
         self.robust_weight = robust_weight
         if robust_mode not in ("channel", "aux"):
             raise ValueError(f"robust_mode {robust_mode!r}")
@@ -175,7 +190,8 @@ class Trainer:
         mcfg = self.model.cfg
         wave = istft_ri(y, n_fft=mcfg.n_fft, hop_length=mcfg.hop_length)
         kpick, kapply = jax.random.split(rng)
-        idx = jax.random.randint(kpick, (), 0, len(self.robust_attacks))
+        idx = jax.random.choice(kpick, len(self.robust_attacks),
+                                p=jnp.asarray(self.robust_probs))
         n = wave.shape[-1]
 
         def fixlen(w):
@@ -404,13 +420,38 @@ class Trainer:
         if template.batch_stats is not None:
             like["batch_stats"] = template.batch_stats
         raw = ckpt.restore(path)
+
+        def fit(tpl, leaf):
+            """Zero-pad a stored conv kernel whose INPUT-channel dim
+            (-2) grew in the template — e.g. pouring a 2-channel
+            extractor checkpoint into an extractor_mag=True model: the
+            new channel's kernel slice starts at zero, so the restored
+            function is exactly the stored one. Only for fine-tune
+            (params_only) pours; any other shape mismatch is an error."""
+            leaf = np.asarray(leaf)
+            ts = tuple(np.shape(tpl))
+            if leaf.shape == ts:
+                return leaf
+            if (params_only and leaf.ndim == len(ts) and leaf.ndim >= 2
+                    and leaf.shape[-2] < ts[-2]
+                    and leaf.shape[:-2] + leaf.shape[-1:]
+                    == ts[:-2] + ts[-1:]):
+                pad = [(0, 0)] * leaf.ndim
+                pad[-2] = (0, ts[-2] - leaf.shape[-2])
+                return np.pad(leaf, pad)
+            raise ValueError(
+                f"checkpoint leaf shape {leaf.shape} does not fit "
+                f"template {ts}")
+
         # pour stored leaves field-by-field into the template's structure
         # (optax namedtuples etc. don't survive serialization)
         restored = {}
         for k in like:
             sub = raw[k] if k in raw else like[k]
+            leaves = [fit(t, s) for t, s in
+                      zip(jax.tree.leaves(like[k]), jax.tree.leaves(sub))]
             restored[k] = jax.tree.unflatten(jax.tree.structure(like[k]),
-                                             jax.tree.leaves(sub))
+                                             leaves)
         if params_only:
             state = dataclasses.replace(
                 template, params=restored["params"],
@@ -516,6 +557,9 @@ class Trainer:
             with open(os.path.join(result_dir, "exp_config.json"), "w") as f:
                 snap = dataclasses.asdict(cfg)
                 snap["robust_attacks"] = list(self.robust_attacks)
+                if self.robust_probs is not None:
+                    snap["robust_probs"] = [round(float(p), 6)
+                                            for p in self.robust_probs]
                 snap["robust_mode"] = self.robust_mode
                 json.dump(snap, f, indent=2, default=str)
             log_f = open(os.path.join(result_dir, "exp_loss.jsonl"), "a")

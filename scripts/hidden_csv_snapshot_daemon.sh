@@ -28,8 +28,14 @@ while : ; do
         done
     done
     [ "$changed" = 1 ] || continue
-    python scripts/hidden_table_summary.py "$SRC" \
-        > "$DST/summary.txt" 2>/dev/null || true
+    # write to a temp file and mv only on success, so a transient
+    # summary failure cannot truncate the last good summary.txt
+    if python scripts/hidden_table_summary.py "$SRC" \
+            > "$DST/summary.txt.tmp" 2>/dev/null; then
+        mv "$DST/summary.txt.tmp" "$DST/summary.txt"
+    else
+        rm -f "$DST/summary.txt.tmp"
+    fi
     for i in 1 2 3; do
         git add "$DST" 2>/dev/null && \
         git commit -m "Snapshot in-flight HiDDeN table CSVs" \

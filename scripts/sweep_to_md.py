@@ -12,13 +12,28 @@ import sys
 def main(path: str, split: str = "test") -> None:
     with open(path) as f:
         rows = [r for r in csv.DictReader(f) if r["Set"] == split]
-    print("| attack | WM-MSE after attack | SNR dB | PESQ |")
-    print("|---|---|---|---|")
+    has_ber = rows and rows[0].get("BER After Attack", "") != ""
+    if has_ber:
+        print("| attack | WM-MSE after attack | +-std | BER after attack "
+              "| SNR dB | PESQ | N utt |")
+        print("|---|---|---|---|---|---|---|")
+    else:
+        print("| attack | WM-MSE after attack | SNR dB | PESQ |")
+        print("|---|---|---|---|")
     for r in rows:
-        print(f"| {r['Attack']} "
-              f"| {float(r['WM Loss After Attack']):.4f} "
-              f"| {float(r['SNR Score']):.1f} "
-              f"| {float(r['PESQ Score']):.2f} |")
+        if has_ber:
+            print(f"| {r['Attack']} "
+                  f"| {float(r['WM Loss After Attack']):.4f} "
+                  f"| {float(r['WM Att Std']):.4f} "
+                  f"| {float(r['BER After Attack']):.4f} "
+                  f"| {float(r['SNR Score']):.1f} "
+                  f"| {float(r['PESQ Score']):.2f} "
+                  f"| {r['Utterances']} |")
+        else:
+            print(f"| {r['Attack']} "
+                  f"| {float(r['WM Loss After Attack']):.4f} "
+                  f"| {float(r['SNR Score']):.1f} "
+                  f"| {float(r['PESQ Score']):.2f} |")
 
 
 if __name__ == "__main__":

@@ -261,27 +261,44 @@ def test_piecewise_offset_search_repairs_progressive_drift():
 def test_gated_piecewise_repair_fixes_only_unambiguous_clips():
     """A globally locked decode with a drifted minority: only clips
     whose re-search lands an unambiguous per-clip lock (< CLIP_ACCEPT)
-    are replaced; locked and aligned-but-noisy clips pass through, and
-    a weak (ambiguous) candidate replacement is rejected."""
+    AND whose replacement decode is hop-stable are replaced; locked and
+    aligned-but-noisy clips pass through, a weak (ambiguous) candidate
+    is rejected by saturation, a hop-UNSTABLE impostor is rejected by
+    CLIP_STABILITY, and an odd-offset drift is reached by the stride-1
+    refinement around the coarse winner."""
     rng = np.random.default_rng(9)
     glyph_a = (rng.random((32, 32, 1)) > 0.5).astype(np.float32)
     glyph_b = (rng.random((32, 32, 1)) > 0.5).astype(np.float32)
+    glyph_c = (rng.random((32, 32, 1)) > 0.5).astype(np.float32)
     locked = np.clip(glyph_a + 0.02, 0.0, 0.98)          # sat 0.02
     locked_b = np.clip(glyph_b + 0.03, 0.0, 0.97)        # sat 0.03
+    locked_c = np.clip(glyph_c + 0.03, 0.0, 0.97)        # sat 0.03
     noisy = glyph_a * 0.78 + 0.11                        # sat 0.11
     weak = glyph_b * 0.78 + 0.11                         # sat 0.11
     garbage = np.full((32, 32, 1), 0.5, np.float32)
-    true_off = 24                                        # in the grid
+    hop = 63
+    true_off = 24                                        # on the grid
+    odd_off = 25                                         # off the grid
 
     def decode_rolls(offs):
         out = []
         for o in offs:
             o = int(o)
             c01 = locked if o == 0 else garbage
-            c2 = locked_b if o == true_off else garbage  # repairable
+            # repairable: locked at true_off, and (like the measured real
+            # decoder) hop-STABLE — the same glyph at true_off +- hop
+            c2 = locked_b if o in (true_off, true_off + hop,
+                                   true_off - hop) else garbage
             c3 = noisy if o == 0 else garbage            # aligned-noisy
             c4 = weak if o == -10 else garbage           # ambiguous
-            out.append(np.stack([c01, c01, c2, c3, c4]))
+            # hop-lattice impostor: saturated wrong glyph at -12 but a
+            # DIFFERENT decode one hop away (stability gate must reject)
+            c5 = locked_b if o == -12 else (
+                locked if o in (-12 + hop, -12 - hop) else garbage)
+            # odd-sample drift: lock exists only at +25 (also hop-stable)
+            c6 = locked_c if o in (odd_off, odd_off + hop,
+                                   odd_off - hop) else garbage
+            out.append(np.stack([c01, c01, c2, c3, c4, c5, c6]))
         return np.stack(out)
 
     def score_rolls(offs):
@@ -290,13 +307,18 @@ def test_gated_piecewise_repair_fixes_only_unambiguous_clips():
         return np.array([sync.confidence(x) for x in d]), sats
 
     dec0 = decode_rolls([0])[0]
-    out = sync.gated_piecewise_repair(dec0, (score_rolls, decode_rolls))
+    out, changed = sync.gated_piecewise_repair(
+        dec0, (score_rolls, decode_rolls))
+    assert changed
     np.testing.assert_array_equal(out[0], locked)        # untouched
     np.testing.assert_array_equal(out[2], locked_b)      # repaired
     np.testing.assert_array_equal(out[3], noisy)         # untouched
-    np.testing.assert_array_equal(out[4], garbage)       # rejected
+    np.testing.assert_array_equal(out[4], garbage)       # rejected (sat)
+    np.testing.assert_array_equal(out[5], garbage)       # rejected (stab)
+    np.testing.assert_array_equal(out[6], locked_c)      # odd-off repair
 
     # all-locked decode: identity fast path (no roll calls believed)
     all_locked = np.stack([locked] * 4)
-    assert sync.gated_piecewise_repair(
-        all_locked, (score_rolls, decode_rolls)) is all_locked
+    out2, changed2 = sync.gated_piecewise_repair(
+        all_locked, (score_rolls, decode_rolls))
+    assert out2 is all_locked and not changed2
