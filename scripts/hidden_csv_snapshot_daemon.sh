@@ -8,8 +8,8 @@
 set -u
 cd "$(dirname "$0")/.."
 INTERVAL=${1:-600}
-SRC=results/hidden_table_r3
-DST=docs/round3_demo/hidden_table_r3
+SRC=${2:-results/hidden_table_r3}
+DST=${3:-docs/round3_demo/hidden_table_r3}
 echo $$ > /tmp/hidden_csv_daemon.pid
 
 while : ; do
@@ -20,7 +20,7 @@ while : ; do
         [ -d "$d" ] || continue
         run=$(basename "$d" | cut -d' ' -f1)
         mkdir -p "$DST/$run"
-        for f in train.csv validation.csv options.json; do
+        for f in train.csv validation.csv validation_raw.csv options.json; do
             [ -f "$d/$f" ] || continue
             if ! cmp -s "$d/$f" "$DST/$run/$f" 2>/dev/null; then
                 cp "$d/$f" "$DST/$run/$f" && changed=1

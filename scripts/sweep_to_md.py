@@ -15,10 +15,10 @@ def main(path: str, split: str = "test") -> None:
     has_ber = rows and rows[0].get("BER After Attack", "") != ""
     if has_ber:
         print("| attack | WM-MSE after attack | +-std | BER after attack "
-              "| SNR dB | PESQ | N utt |")
+              "| SNR dB | PESQ (vendored) | N utt |")
         print("|---|---|---|---|---|---|---|")
     else:
-        print("| attack | WM-MSE after attack | SNR dB | PESQ |")
+        print("| attack | WM-MSE after attack | SNR dB | PESQ (vendored) |")
         print("|---|---|---|---|")
     for r in rows:
         if has_ber:
