@@ -164,9 +164,19 @@ def _train_step_metrics() -> dict:
             return {"train_step_ms": round(step_ms, 1)}
         prof = F.profile_fn(trainer._step_fn, state, batch, msg, key)
         mfu = prof["flops"] / (step_ms * 1e-3) / 197e12
+        roof = F.roofline_ms(prof)
         return {"train_step_ms": round(step_ms, 1),
                 "train_step_tflops": round(prof["flops"] / 1e12, 2),
-                "train_mfu_bf16": round(mfu, 3)}
+                "train_mfu_bf16": round(mfu, 3),
+                # HBM roofline of the lowered step (VERDICT r3 #6): if
+                # memory_ms ~ step_ms the step is bandwidth-bound and
+                # 0.11 MFU is the roofline; if step_ms >> both bounds the
+                # gap is issue/shape inefficiency (small window-attention
+                # matmuls), not a fundamental bound
+                "train_step_bytes_gb": round(
+                    prof["bytes_accessed"] / 1e9, 2),
+                "train_roofline_compute_ms": round(roof["compute_ms"], 1),
+                "train_roofline_memory_ms": round(roof["memory_ms"], 1)}
     except Exception as e:                      # pragma: no cover
         return {"train_step_error": f"{type(e).__name__}: {e}"[:200]}
 

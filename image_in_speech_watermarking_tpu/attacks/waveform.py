@@ -245,13 +245,26 @@ def phase_vocoder(spec: jnp.ndarray, rate: float,
 
     s_lo = jnp.moveaxis(spec[..., lo], -1, -2)            # (..., T, bins)
     s_hi = jnp.moveaxis(spec[..., hi], -1, -2)
-    mag = (1 - frac) * jnp.abs(s_lo) + frac * jnp.abs(s_hi)
 
-    dphase = jnp.angle(s_hi) - jnp.angle(s_lo) - phi_advance
+    # NaN-safe for the TRAINING graph (vocoder_roundtrip rides the
+    # robust bank, so gradients flow through here): jnp.abs/jnp.angle
+    # have z/|z| VJPs — NaN at exactly-zero bins, which padded/silent
+    # regions produce (observed: a channel-mode fine-tune NaN-poisoned
+    # mid-epoch). Magnitude gets an eps inside the sqrt; phases are
+    # computed on stop_gradient values (the useful embedding gradient
+    # rides the magnitudes; phase gradients through the wrapped-round
+    # cumsum are noise even when finite).
+    def safe_abs(z):
+        return jnp.sqrt(jnp.real(z) ** 2 + jnp.imag(z) ** 2 + 1e-24)
+
+    mag = (1 - frac) * safe_abs(s_lo) + frac * safe_abs(s_hi)
+    s_lo_ng = jax.lax.stop_gradient(s_lo)
+    s_hi_ng = jax.lax.stop_gradient(s_hi)
+    dphase = jnp.angle(s_hi_ng) - jnp.angle(s_lo_ng) - phi_advance
     dphase = dphase - 2.0 * np.pi * jnp.round(dphase / (2.0 * np.pi))
     step = phi_advance + dphase                           # (..., T, bins)
 
-    phase0 = jnp.angle(s_lo[..., 0, :])
+    phase0 = jnp.angle(s_lo_ng[..., 0, :])
     # accumulated phase: phase[t] = phase0 + sum_{u<t} step[u]
     acc = jnp.cumsum(step, axis=-2) - step
     phase = phase0[..., None, :] + acc

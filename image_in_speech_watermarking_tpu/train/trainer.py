@@ -66,6 +66,13 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int,
                                    cfg.step_lr_gamma, steps_per_epoch)
     tx = optax.adamw(sched, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
                      weight_decay=cfg.weight_decay)
+    # Skip non-finite update steps instead of poisoning the params —
+    # the reference's AMP NativeScaler semantics (timm skips the
+    # optimizer step when the unscaled grads are inf/nan,
+    # audio_uformer_stft.py:372,538). A single pathological robust-bank
+    # batch (observed: a vocoder-branch zero-bin |z| VJP pole) NaN'd an
+    # entire fine-tune before this guard.
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=50)
     if freeze:
         def label(params):
             def one(path, _):
@@ -608,7 +615,10 @@ class Trainer:
                     state, clips_dev, jnp.asarray(idx), jnp.asarray(msgs),
                     rng)
                 vals_all = jax.device_get(mstack)   # one host fetch
-                epoch_loss = float(np.mean(vals_all["loss"]))
+                # nanmean: a skipped non-finite step (apply_if_finite)
+                # logs a NaN loss but must not poison the epoch mean
+                # that drives best-checkpoint selection
+                epoch_loss = float(np.nanmean(vals_all["loss"]))
                 n_sync = 1
                 if log_f:
                     for i in range(0, steps, log_every):
@@ -633,8 +643,9 @@ class Trainer:
                     if i % log_every == 0:
                         vals = {k: float(v) for k, v in
                                 jax.device_get(metrics).items()}
-                        epoch_loss += vals["loss"]
-                        n_sync += 1
+                        if np.isfinite(vals["loss"]):   # skipped step
+                            epoch_loss += vals["loss"]
+                            n_sync += 1
                         if log_f:
                             log_f.write(json.dumps(
                                 {"epoch": epoch, "step": i, **vals}) + "\n")
