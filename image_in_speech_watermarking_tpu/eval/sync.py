@@ -34,11 +34,20 @@ sync search matches its grid-alignment architecture (audio_test.py:
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _dbg(msg: str) -> None:
+    """Search diagnostics behind ISW_SYNC_DEBUG=1 (threshold
+    recalibration needs the internal scores, not just the aggregate)."""
+    if os.environ.get("ISW_SYNC_DEBUG"):
+        print(f"[sync] {msg}", file=sys.stderr, flush=True)
 
 from image_in_speech_watermarking_tpu.attacks.waveform import (
     pitch_scaling, time_stretch_wave)
@@ -306,13 +315,18 @@ def lattice_offset_search(wave: np.ndarray,
         padded = blk + [0] * (block - len(blk))
         decs.extend(decode_rolls(np.asarray(padded, np.int32))[:len(blk)])
     best = None
+    ranked = []
     for j, off in enumerate(finalists):
         d0, dp, dm = decs[3 * j], decs[3 * j + 1], decs[3 * j + 2]
         stab = 0.5 * (float(np.mean((d0 - dp) ** 2))
                       + float(np.mean((d0 - dm) ** 2)))
+        ranked.append((stab, confs[off], off))
         key = (stab, confs[off])
         if best is None or key < best[0]:
             best = (key, off, d0)
+    _dbg("lattice finalists (stab, conf, off): "
+         + str([(round(s, 5), round(c, 4), o)
+                for s, c, o in sorted(ranked)[:6]]))
     _, off, d0 = best
     # finalists[0] is the raw confidence argmin; when the stability pick
     # and the confidence pick agree, the evidence is consistent even if
@@ -517,6 +531,9 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         if make_roll_fns is not None:
             off, dec, c, stab, conf_agrees = lattice_offset_search(
                 anchor[0], make_roll_fns(anchor[0]), max_shift=window)
+            _dbg(f"roll stage: anchor={anchor[2]}@{anchor[3]:.4f} -> "
+                 f"off={off} conf={c:.4f} stab={stab:.5f} "
+                 f"agrees={conf_agrees}")
             # hop-stability gate (see STABILITY_LOCK): without it,
             # lattice hallucinations pass the confidence margins;
             # conf_agrees covers extractors without hop tolerance
@@ -574,6 +591,8 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
                                               make_roll_fns(best[0]))
         if changed:
             c_new = confidence(dec)
+            _dbg(f"clipfix: {best[3]:.4f} -> {c_new:.4f}")
             if c_new <= best[3]:
                 best = (best[0], dec, f"{best[2]}+clipfix", c_new)
+    _dbg(f"final: {best[2]} score={best[3]:.4f}")
     return best
