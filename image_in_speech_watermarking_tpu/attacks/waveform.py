@@ -337,6 +337,36 @@ def vocoder_roundtrip(key, wav: jnp.ndarray,
     return _match_len(back, wav.shape[-1])
 
 
+def phase_walk(key, wav: jnp.ndarray, step_rad: float = 0.8) -> jnp.ndarray:
+    """Unbounded per-bin phase random walk on the VOCODER's 2048 grid.
+
+    Not in the reference battery — the round-4 training surrogate for
+    whole-wave phase-vocoder decoherence. The round-4 decomposition
+    (scripts/r4_vocoder_decomp.py) showed that after eval-side
+    unstretch, per-clip realignment does NOT recover the payload (the
+    oracle-composed repair scored no better than decode-at-zero): the
+    residual is not translation but the vocoder's accumulated synthesis
+    phase, which acts as a random smooth all-pass on the 2048-point
+    analysis grid and corrupts even |STFT| through overlap-add
+    interference between frames. Rotating each (bin, frame) of the
+    2048/512 hann STFT by an UNBOUNDED Gaussian random walk along
+    frames (step std ``step_rad``) reproduced that damage exactly
+    (decode MSE 0.047 vs the real roundtrip's 0.049 on the r4 mag
+    flagship), where the bounded 255-grid ``phase_noise`` proxy was far
+    too weak. FFT STFTs keep the branch program small inside the
+    robust-bank ``lax.switch`` (see time_stretch_wave); the rotation is
+    cos/sin of a key-derived walk — no abs/angle, so no NaN pole on the
+    training graph (contrast phase_vocoder's guarded gradients)."""
+    L = wav.shape[-1]
+    w = _hann(_PV_N_FFT)
+    spec = stft(wav, _PV_N_FFT, hop_length=_PV_HOP, window=w, method="fft")
+    steps = jax.random.normal(key, spec.shape) * step_rad
+    theta = jnp.cumsum(steps, axis=-1)                 # walk along frames
+    rot = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    return istft(spec * rot, _PV_N_FFT, hop_length=_PV_HOP, window=w,
+                 length=L, method="fft")
+
+
 def _match_len(wav: jnp.ndarray, n: int) -> jnp.ndarray:
     wav = wav[..., :n]
     if wav.shape[-1] < n:
@@ -411,6 +441,7 @@ ATTACKS: Dict[str, Callable] = {
     "time_shift": time_shift,
     "time_warp": time_warp,
     "phase_noise": phase_noise,
+    "phase_walk": phase_walk,
     "vocoder_roundtrip": vocoder_roundtrip,
     "time_scaling": time_scaling,
     "pitch_scaling": pitch_scaling,
@@ -431,6 +462,7 @@ _PARAM_NAME = {
     "time_shift": ("max_shift", int),
     "time_warp": ("max_pct", float),
     "phase_noise": ("max_rad", float),
+    "phase_walk": ("step_rad", float),
     "vocoder_roundtrip": ("scaling_factor", float),
     "time_scaling": ("scaling_factor", float),
     "pitch_scaling": ("scaling_factor", float),

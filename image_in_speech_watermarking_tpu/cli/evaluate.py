@@ -71,6 +71,12 @@ def main(argv=None):
                         "split halves sweep wall time)")
     args = p.parse_args(argv)
 
+    # the sync-search constants are per-payload-channel: the |STFT|
+    # extractor's confidence/stability landscape differs qualitatively
+    # from the real/imag one (eval/sync.py SyncProfile notes)
+    from image_in_speech_watermarking_tpu.eval import sync as _sync
+    _sync.set_profile("mag" if args.extractor_mag else "ri")
+
     model = models.get_arch(args.arch, embed_dim=args.embed_dim,
                             stft_residual=args.stft_residual,
                             extractor_mag=args.extractor_mag)

@@ -34,6 +34,7 @@ sync search matches its grid-alignment architecture (audio_test.py:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 from typing import Callable, List, Optional, Tuple
@@ -212,6 +213,90 @@ CLIP_STABILITY = 0.0045
 # its hop-stability clears this gate.
 STABILITY_LOCK = 0.0025
 
+# ---------------------------------------------------------------------------
+# Sync profiles: every constant above was measured on the round-3
+# real/imag flagship, whose alignment basin is sample-exact and whose
+# confidence bands separate locked (~0.065-0.09) from garbage
+# (>= 0.13). The round-4 |STFT| payload channel (UformerConfig.
+# extractor_mag) has a COMPLETELY different landscape, measured by
+# scripts/r4_sync_calibration.py on both probe utterances:
+#
+#   true offset conf   0.0892-0.0898   (within-bowl argmin)
+#   bowl +-1..16       0.0917-0.0970   (wide SMOOTH bowl; +-31 is out
+#                                        at 0.179-0.188)
+#   hop impostors      0.1016-0.1049 (+-63), 0.1187-0.1436 (+-126)
+#   background garbage min 0.0904-0.0962, median 0.166-0.178
+#   hop-stability      true 0.0039-0.0040, impostor 0.0085-0.0119,
+#                      garbage >= 0.0295
+#
+# Confidence CANNOT make any decision alone for this model: the garbage
+# floor (0.0904) sits BELOW the bowl's own +-1 neighbours (0.0948), so a
+# conf-gated "locked, skip repair" verdict can bless a garbage decode
+# and a conf-ranked argmin can pick garbage over near-true offsets
+# (observed: the r3-tuned search picked 754 for a true shift of 828).
+# Hop-stability separates with ~2x headroom on both sides, so the mag
+# profile makes stability the deciding signal everywhere: a lock verdict
+# must be stability-verified, a roll repair is accepted iff its winner
+# is hop-stable, and the basin search matches the wide-bowl geometry
+# (coarse stride 5 cannot step over a radius>=16 bowl; each basin is
+# descended to its stride-1 argmin before the stability probe — the old
+# dedup-8/refine-+-2 geometry left finalists mid-bowl).
+
+
+@dataclasses.dataclass(frozen=True)
+class SyncProfile:
+    name: str
+    lock: float                 # LOCK_THRESHOLD
+    accept: float               # ACCEPT_THRESHOLD
+    repair_margin: float
+    clip_unlocked: float
+    clip_accept: float
+    clip_margin: float
+    clip_stability: float
+    stability_lock: float
+    coarse_stride: int          # lattice_offset_search crawl stride
+    basin_radius: int           # basin dedup radius (bowl half-width)
+    descent: Tuple[int, ...]    # per-basin refinement deltas
+    stability_rules: bool       # stability decides lock + acceptance
+
+
+RI_PROFILE = SyncProfile(
+    name="ri", lock=0.12, accept=0.08, repair_margin=0.02,
+    clip_unlocked=0.12, clip_accept=0.10, clip_margin=0.02,
+    clip_stability=0.0045, stability_lock=0.0025,
+    coarse_stride=3, basin_radius=8, descent=(-2, -1, 1, 2),
+    stability_rules=False)
+
+MAG_PROFILE = SyncProfile(
+    name="mag", lock=0.12, accept=0.05, repair_margin=0.02,
+    clip_unlocked=0.12, clip_accept=0.115, clip_margin=0.02,
+    clip_stability=0.0065, stability_lock=0.006,
+    coarse_stride=5, basin_radius=16,
+    descent=(-14, -11, -8, -6, -4, -3, -2, -1, 1, 2, 3, 4, 6, 8, 11, 14),
+    stability_rules=True)
+
+_PROFILE = RI_PROFILE
+
+
+def set_profile(name: str) -> SyncProfile:
+    """Select the sync constant profile ('ri' or 'mag') and rebind the
+    module-level constants so existing callers/tests see the active
+    values. The eval CLI selects 'mag' for --extractor_mag checkpoints."""
+    global _PROFILE, LOCK_THRESHOLD, ACCEPT_THRESHOLD, REPAIR_MARGIN, \
+        CLIP_UNLOCKED, CLIP_ACCEPT, CLIP_MARGIN, CLIP_STABILITY, \
+        STABILITY_LOCK
+    prof = {"ri": RI_PROFILE, "mag": MAG_PROFILE}[name]
+    _PROFILE = prof
+    LOCK_THRESHOLD = prof.lock
+    ACCEPT_THRESHOLD = prof.accept
+    REPAIR_MARGIN = prof.repair_margin
+    CLIP_UNLOCKED = prof.clip_unlocked
+    CLIP_ACCEPT = prof.clip_accept
+    CLIP_MARGIN = prof.clip_margin
+    CLIP_STABILITY = prof.clip_stability
+    STABILITY_LOCK = prof.stability_lock
+    return prof
+
 
 def _outward_offsets(max_shift: int):
     """0, +1, -1, +2, -2, ... +-max_shift."""
@@ -269,6 +354,7 @@ def lattice_offset_search(wave: np.ndarray,
     o-hop} and picks the finalist whose decode is most invariant to the
     +-1 hop roll — the measured signature of true alignment."""
     score_rolls, decode_rolls = roll_fns
+    prof = _PROFILE
 
     def score_many(offs, confs):
         for i in range(0, len(offs), block):
@@ -282,23 +368,34 @@ def lattice_offset_search(wave: np.ndarray,
         c_min = min(confs.values())
         basins: List[int] = []
         for off in sorted(confs, key=confs.get):
-            if all(abs(off - f) >= 8 for f in basins):
+            if all(abs(off - f) >= prof.basin_radius for f in basins):
                 basins.append(off)
             if len(basins) >= 48 or (len(basins) >= n_finalists
                                      and confs[off] > c_min + 0.04):
                 break
         return basins
 
-    # Coarse crawl at stride 3: the lock basin degrades gracefully for
-    # +-1 sample (measured 0.089 -> ~0.10 vs >=0.16 garbage), so a
-    # stride-3 grid cannot step over it; each coarse basin is then
-    # refined at stride 1 (+-2) before finalist selection. ~3x cheaper
-    # than the exhaustive crawl with the same guarantees.
+    # Coarse crawl at the profile stride: the lock basin degrades
+    # gracefully (ri: +-1 sample, 0.089 -> ~0.10 vs >=0.16 garbage; mag:
+    # a smooth radius>=16 bowl), so the coarse grid cannot step over it;
+    # each coarse basin is then descended to its stride-1 argmin via the
+    # profile's descent net before finalist selection (the mag bowl is
+    # wide — a +-2 refine left finalists mid-bowl, and only the bowl's
+    # argmin carries the true offset; measured: dedup radius 8 > refine
+    # radius 2 made the search miss a true shift of 828 entirely).
     confs: dict = {}
-    score_many(list(range(-max_shift, max_shift + 1, 3)) + [0], confs)
+    score_many(list(range(-max_shift, max_shift + 1, prof.coarse_stride))
+               + [0], confs)
     refine = [b + d for b in pick_basins(confs)
-              for d in (-2, -1, 1, 2) if abs(b + d) <= max_shift]
+              for d in prof.descent if abs(b + d) <= max_shift]
     score_many([o for o in set(refine) if o not in confs], confs)
+    if prof.stability_rules:
+        # close the descent: the net above has stride-1 coverage only
+        # near the basin rep; polish each surviving basin's current
+        # argmin with +-1..2 so the finalist IS the bowl's argmin
+        polish = [b + d for b in pick_basins(confs)
+                  for d in (-2, -1, 1, 2) if abs(b + d) <= max_shift]
+        score_many([o for o in set(polish) if o not in confs], confs)
     # Finalists: every distinct near-minimum basin. The hallucination
     # lattice is DENSE (a +-1024 window holds ~32 hop-lattice points,
     # many of which out-score the true offset — measured: 12+ impostor
@@ -497,10 +594,37 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
     the full +-max_shift window when the received length matched (a pure
     time_shift), a +-64 refinement window otherwise (residual offset
     after the length-restoring resample/unstretch)."""
+    prof = _PROFILE
     best = None
     anchor = None        # best ROLL-REPAIRABLE candidate (see below)
     anchor_verified = False
     saw_deletion_tail = False
+    _stab_cache: dict = {}
+
+    def locked(cand) -> bool:
+        """Is this (wave, dec, name, score) candidate a real lock?
+
+        ri profile: confidence alone decides (bands separate). mag
+        profile: the garbage floor (0.0904) sits below the bowl's own
+        neighbours, so a conf-only verdict can bless garbage — a lock
+        must ALSO be hop-stable (true 0.0039-0.0040 vs garbage
+        >= 0.0295, measured r4_sync_calibration). Costs one 3-offset
+        decode block per distinct wave; falls back to conf-only when
+        no device roll fns exist (serial/test path)."""
+        if cand[3] >= LOCK_THRESHOLD:
+            return False
+        if not prof.stability_rules or make_roll_fns is None:
+            return True
+        key = id(cand[1])
+        if key not in _stab_cache:
+            _, decode_rolls = make_roll_fns(cand[0])
+            d = decode_rolls(np.asarray([0, _EVAL_HOP, -_EVAL_HOP, 0],
+                                        np.int32))
+            stab = 0.5 * (float(np.mean((d[0] - d[1]) ** 2))
+                          + float(np.mean((d[0] - d[2]) ** 2)))
+            _dbg(f"lock probe: {cand[2]}@{cand[3]:.4f} stab={stab:.5f}")
+            _stab_cache[key] = stab <= STABILITY_LOCK
+        return _stab_cache[key]
     for name, wave in resync_candidates(att_audio, expected_len,
                                         pitch_steps=pitch_steps,
                                         stage="base"):
@@ -520,7 +644,7 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         # base stage is pitch-free, so every candidate here qualifies.
         if anchor is None or score < anchor[3]:
             anchor = (wave, dec, name, score)
-    if best[3] >= LOCK_THRESHOLD and anchor is not None:
+    if not locked(best) and anchor is not None:
         length_matched = np.asarray(att_audio).reshape(-1).shape[-1] \
             == expected_len
         # full-window roll only for a suspected pure constant shift
@@ -528,6 +652,7 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         # progressive drift or pitch, so elsewhere just refine +-64
         window = max_shift if (length_matched
                                and not saw_deletion_tail) else 64
+        stab = None          # set only on the lattice (device-roll) path
         if make_roll_fns is not None:
             off, dec, c, stab, conf_agrees = lattice_offset_search(
                 anchor[0], make_roll_fns(anchor[0]), max_shift=window)
@@ -536,9 +661,19 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
                  f"agrees={conf_agrees}")
             # hop-stability gate (see STABILITY_LOCK): without it,
             # lattice hallucinations pass the confidence margins;
-            # conf_agrees covers extractors without hop tolerance
-            accepted = (stab <= STABILITY_LOCK or conf_agrees) and (
-                c < ACCEPT_THRESHOLD or c < anchor[3] - REPAIR_MARGIN)
+            # conf_agrees covers extractors without hop tolerance. For
+            # the mag profile stability is the ONLY admissible evidence
+            # — conf_agrees is unreliable (the conf argmin can be a
+            # garbage dip below the bowl's neighbours) and the conf
+            # margin can reject a true repair (true 0.0892 vs a garbage
+            # anchor at 0.0904 is inside any sane margin), while no
+            # garbage offset ever decodes hop-stable (>= 0.0295 vs the
+            # 0.006 gate).
+            if prof.stability_rules:
+                accepted = stab <= STABILITY_LOCK
+            else:
+                accepted = (stab <= STABILITY_LOCK or conf_agrees) and (
+                    c < ACCEPT_THRESHOLD or c < anchor[3] - REPAIR_MARGIN)
             if off == 0 and stab <= STABILITY_LOCK:
                 # the stability winner is the UNROLLED anchor itself:
                 # the anchor is verified GLOBALLY aligned (aligned-but-
@@ -561,9 +696,20 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         if accepted:
             rolled = np.roll(anchor[0], -off)
             anchor = (rolled, dec, f"{anchor[2]}+roll[{-off:+d}]", c)
-        if anchor[3] < best[3]:
+            # the repair's winner already passed (or failed) the
+            # hop-stability probe — seed the lock cache so the stage
+            # gates below don't re-probe the same decode
+            if stab is not None:
+                _stab_cache[id(dec)] = stab <= STABILITY_LOCK
+        # a stability-verified repair outranks ANY conf-only best: under
+        # the mag profile a garbage conf dip (measured 0.0904, below the
+        # bowl's own +-1 neighbours) can out-score the true offset's
+        # 0.0892, and no garbage decode is hop-stable
+        if anchor[3] < best[3] or (prof.stability_rules and accepted
+                                   and stab is not None
+                                   and stab <= STABILITY_LOCK):
             best = anchor
-    if best[3] >= LOCK_THRESHOLD and not anchor_verified:
+    if not locked(best) and not anchor_verified:
         # nothing locked and the alignment is not verified: synthesize
         # the pitch-inverse hypotheses (expensive host phase vocoder,
         # hence deferred to this stage)
@@ -574,14 +720,14 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
             score = confidence(dec)
             if score < best[3]:
                 best = (wave, dec, name, score)
-    if best[3] >= LOCK_THRESHOLD and anchor is not None:
+    if not locked(best) and anchor is not None:
         # still no global lock: progressive-drift repair, clip by clip
         roll_fns = make_roll_fns(anchor[0]) if make_roll_fns else None
         dec, c = piecewise_offset_search(anchor[0], extract_fn,
                                          roll_fns=roll_fns)
         if c < ACCEPT_THRESHOLD or c < best[3] - REPAIR_MARGIN:
             best = (anchor[0], dec, f"{anchor[2]}+piecewise", c)
-    if best[3] < LOCK_THRESHOLD and make_roll_fns is not None:
+    if locked(best) and make_roll_fns is not None:
         # globally locked, but a drifted minority of clips may remain
         # (none of the repair stages above ran) — per-clip gated repair.
         # Accepted only if the composed confidence does not regress (a

@@ -41,7 +41,10 @@ def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
         help="run the slow tier (long training loops, full virtual-mesh "
-             "compiles); the default tier stays green in ~5 min")
+             "compiles); the default tier runs ~9 min warm-cache on an "
+             "8-vCPU host, >10 min cold — pre-seed with "
+             "scripts/ci_test.sh, which also documents the full "
+             "--runslow tier")
 
 
 def pytest_configure(config):

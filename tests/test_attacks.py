@@ -371,3 +371,36 @@ def test_vocoder_roundtrip_is_lossy_but_aligned():
     out2 = get_attack("vocoder_roundtrip-1.1")(KEY, wav)
     assert out2.shape == wav.shape
     assert float(jnp.mean(jnp.abs(out2 - out))) > 0.0
+
+
+def test_phase_walk_scrambles_phase_with_finite_grads():
+    """phase_walk (round-4 vocoder-decoherence surrogate): length-
+    preserving heavy phase scramble on the 2048 vocoder grid. Unlike
+    phase_noise (bounded walk on the 255 embedding grid) it must damage
+    the waveform at the whole-wave-roundtrip severity level, and —
+    because it rides the channel-mode robust bank — its VJP must be
+    finite even on exactly-zero regions (jnp.angle's NaN pole took down
+    a fine-tune; phase_walk uses cos/sin of a key-derived walk, no
+    abs/angle)."""
+    from image_in_speech_watermarking_tpu import data
+
+    wav = jnp.asarray(data.synthetic_speech(16000, seed=4))
+    fn = get_attack("phase_walk-0.8")
+    out = fn(KEY, wav)
+    assert out.shape == wav.shape
+    assert bool(jnp.isfinite(out).all())
+    # severity: decorrelates the waveform like the real whole-wave
+    # vocoder roundtrip (measured decode-damage match 0.047 vs 0.049)
+    rel = float(jnp.mean((out - wav) ** 2) / jnp.mean(wav ** 2))
+    assert rel > 0.3
+    # milder operating point is milder
+    out_mild = get_attack("phase_walk-0.1")(KEY, wav)
+    rel_mild = float(jnp.mean((out_mild - wav) ** 2) / jnp.mean(wav ** 2))
+    assert rel_mild < rel
+    # NaN micro-hunt: exact-zero half + all-zero input
+    half = jnp.asarray(np.concatenate(
+        [np.asarray(wav[:8000]), np.zeros(8000, np.float32)]))
+    g = jax.grad(lambda w: jnp.sum(fn(KEY, w) ** 2))(half)
+    assert bool(jnp.isfinite(g).all())
+    g0 = jax.grad(lambda w: jnp.sum(fn(KEY, w) ** 2))(jnp.zeros(16000))
+    assert bool(jnp.isfinite(g0).all())

@@ -322,3 +322,125 @@ def test_gated_piecewise_repair_fixes_only_unambiguous_clips():
     out2, changed2 = sync.gated_piecewise_repair(
         all_locked, (score_rolls, decode_rolls))
     assert out2 is all_locked and not changed2
+
+
+# ---------------------------------------------------------------------------
+# Mag-profile (round-4 |STFT| payload channel) — the landscape measured
+# by scripts/r4_sync_calibration.py: a wide SMOOTH confidence bowl
+# (radius >= 16, true offset = within-bowl argmin 0.0892, +-1 at
+# 0.0948), a garbage floor that DIPS BELOW the bowl's own neighbours
+# (min 0.0904), and hop-stability as the only separating signal (true
+# 0.0039-0.0040 vs impostor 0.0085+ vs garbage >= 0.0295).
+# ---------------------------------------------------------------------------
+
+def _mag_world(true_shift, dip_m=None, L=16000, bowl=16, hop=63):
+    """Toy extractor with the measured mag landscape. Returns
+    (att, extract, bowl_glyph). ``dip_m`` places a hop-UNSTABLE garbage
+    decode whose confidence (0.0875) undercuts the true offset's
+    (0.089) at misalignment m = dip_m."""
+    wave = data.synthetic_speech(L, seed=11)
+    att = np.roll(wave, true_shift)
+    rng = np.random.default_rng(3)
+    glyph = np.tile((rng.random((1, 32, 32, 1)) > 0.5).astype(np.float32),
+                    (4, 1, 1, 1))
+    # byte-exact alignment lookup: every wave the search can produce is
+    # a roll of `wave`; m is its residual misalignment
+    lut = {np.roll(wave, m)[:64].tobytes(): m for m in range(-1400, 1401)}
+
+    def rand_glyph(seed, slack):
+        g = (np.random.default_rng(seed).random((1, 32, 32, 1))
+             > 0.5).astype(np.float32)
+        return np.clip(np.tile(g, (4, 1, 1, 1)) + slack, 0, 1 - slack)
+
+    def extract(w):
+        m = lut.get(np.asarray(w, np.float32)[:64].tobytes())
+        if m is None:
+            return rand_glyph(0, 0.17)
+        for base in (0, hop, -hop):          # hop-tolerant, like the
+            err = m - base                   # real mag decoder
+            if abs(err) <= bowl:
+                slack = 0.089 + 0.0004 * abs(err)
+                return np.clip(glyph + slack, 0, 1 - slack)
+        if dip_m is not None and m == dip_m:
+            return rand_glyph(7, 0.0875)     # confident garbage dip
+        return rand_glyph(m % (2 ** 31), 0.17)   # varying garbage
+    return att, extract, np.clip(glyph + 0.089, 0, 1 - 0.089)
+
+
+def test_mag_lattice_search_descends_wide_bowl_past_conf_dip():
+    """The stride-1 descent must reach the bowl's argmin (the old
+    dedup-8/refine-+-2 geometry left finalists mid-bowl and missed a
+    true shift of 828), and the stability probe must reject a garbage
+    dip whose raw confidence beats the true offset."""
+    sync.set_profile("mag")
+    try:
+        true_shift = 828
+        att, extract, bowl_glyph = _mag_world(true_shift, dip_m=-400)
+        roll_fns = _host_roll_fns(att, extract)
+        off, dec, conf, stab, _ = sync.lattice_offset_search(
+            att, roll_fns, max_shift=1024, block=64)
+        assert off == true_shift, off
+        assert stab <= sync.STABILITY_LOCK
+        np.testing.assert_allclose(dec, bowl_glyph)
+    finally:
+        sync.set_profile("ri")
+
+
+def test_mag_best_candidate_stability_beats_confident_garbage():
+    """time_shift repair under the mag profile: the identity decode is
+    a hop-UNSTABLE garbage dip at conf 0.0875 — BELOW the true offset's
+    0.089, so every confidence rule (lock gate, repair margin, final
+    ranking) would keep the garbage. Stability rules must (1) refuse to
+    declare the dip locked, (2) accept the true-offset repair without a
+    confidence margin, (3) let the stability-verified repair outrank
+    the lower-conf garbage."""
+    sync.set_profile("mag")
+    try:
+        true_shift = 377
+        # dip at m == true_shift: the UNROLLED attacked wave itself
+        # decodes as confident garbage
+        att, extract, bowl_glyph = _mag_world(true_shift,
+                                              dip_m=true_shift)
+        def make_roll_fns(wave):
+            return _host_roll_fns(wave, extract)
+        _, dec, name, conf = sync.best_candidate(
+            att, 16000, extract, max_shift=512,
+            make_roll_fns=make_roll_fns)
+        assert "roll[" in name, name
+        np.testing.assert_allclose(dec, bowl_glyph)
+    finally:
+        sync.set_profile("ri")
+
+
+def test_mag_locked_decode_skips_repair_stages():
+    """A hop-stable decode under LOCK_THRESHOLD is a verified lock: no
+    roll search may rewrite it (and the pitch stage must not run)."""
+    sync.set_profile("mag")
+    try:
+        att, extract, bowl_glyph = _mag_world(0)
+        calls = {"n": 0}
+        def counting_extract(w):
+            calls["n"] += 1
+            return extract(w)
+        def make_roll_fns(wave):
+            return _host_roll_fns(wave, counting_extract)
+        _, dec, name, conf = sync.best_candidate(
+            att, 16000, counting_extract, max_shift=512,
+            make_roll_fns=make_roll_fns)
+        np.testing.assert_allclose(dec, bowl_glyph)
+        # identity candidates + one 3-offset lock probe + clipfix gate;
+        # a full lattice crawl would be hundreds of calls
+        assert calls["n"] < 40, calls["n"]
+    finally:
+        sync.set_profile("ri")
+
+
+def test_set_profile_rebinds_and_restores():
+    assert sync.STABILITY_LOCK == sync.RI_PROFILE.stability_lock
+    sync.set_profile("mag")
+    try:
+        assert sync.STABILITY_LOCK == sync.MAG_PROFILE.stability_lock
+        assert sync.CLIP_ACCEPT == sync.MAG_PROFILE.clip_accept
+    finally:
+        sync.set_profile("ri")
+    assert sync.STABILITY_LOCK == sync.RI_PROFILE.stability_lock
