@@ -25,6 +25,45 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+# -- crash-safe overwrite ---------------------------------------------------
+# orbax's ``force=True`` DELETES the destination before writing the
+# replacement; a SIGKILL inside that window (observed round 4: the
+# flagship_r4_pw final save was interrupted and the run's only
+# checkpoint was lost) leaves nothing but an unfinalized
+# ``*.orbax-checkpoint-tmp``. Instead every overwrite-style save lands
+# in ``<path>_staging`` and is promoted to ``<path>`` only once orbax
+# has finalized it, so a valid checkpoint exists at all times.
+
+def _promote(path: str) -> None:
+    """If a finalized staging checkpoint exists, atomically swap it into
+    place (keeping the previous one as ``<path>.old`` until the swap
+    completes). No-op when there is nothing to promote."""
+    import shutil
+
+    staging = path + "_staging"
+    if not os.path.isdir(staging):   # not written / not yet finalized
+        return
+    old = path + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def _resolve(path: str) -> str:
+    """Restore-side fallback chain for interrupted promotions:
+    live path, else finalized staging, else the displaced ``.old``."""
+    if os.path.isdir(path):
+        return path
+    for suffix in ("_staging", ".old"):
+        if os.path.isdir(path + suffix):
+            return path + suffix
+    return path   # let orbax raise its usual not-found error
+
+
 def save(path: str, state, epoch: int = 0) -> str:
     """Save a TrainState (or any pytree-holding object) to ``path``."""
     import orbax.checkpoint as ocp
@@ -39,7 +78,8 @@ def save(path: str, state, epoch: int = 0) -> str:
         payload["batch_stats"] = _to_host(state.batch_stats)
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path + "_staging", payload, force=True)
+    _promote(path)
     return path
 
 
@@ -66,14 +106,28 @@ def save_async(path: str, state, epoch: int = 0) -> str:
     if getattr(state, "batch_stats", None) is not None:
         payload["batch_stats"] = state.batch_stats
     path = os.path.abspath(path)
-    _async_ckptr.save(path, payload, force=True)
+    global _pending_promote
+    # ensure the PREVIOUS staging write is finalized, swap it live, then
+    # kick off this save into (a fresh) staging
+    _async_ckptr.wait_until_finished()
+    _promote(path)
+    _async_ckptr.save(path + "_staging", payload, force=True)
+    _pending_promote = path
     return path
 
 
+_pending_promote: Optional[str] = None
+
+
 def wait_for_saves() -> None:
-    """Block until every pending ``save_async`` has hit disk."""
+    """Block until every pending ``save_async`` has hit disk, then
+    promote the final staging checkpoint to its live path."""
+    global _pending_promote
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
+    if _pending_promote is not None:
+        _promote(_pending_promote)
+        _pending_promote = None
 
 
 def restore(path: str, like: Any = None) -> dict:
@@ -83,7 +137,7 @@ def restore(path: str, like: Any = None) -> dict:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path))
+    restored = ckptr.restore(_resolve(os.path.abspath(path)))
     if like is None:
         return restored
     leaves, treedef = jax.tree.flatten(like)

@@ -17,7 +17,10 @@ MAX_RETRIES=$1; shift
 attempt=0
 while : ; do
     args=("$@")
-    if [ -d "$RESULT_DIR/model" ] || [ -d "$RESULT_DIR/model_latest" ]; then
+    if [ -d "$RESULT_DIR/model" ] || [ -d "$RESULT_DIR/model_latest" ] \
+            || [ -d "$RESULT_DIR/model_staging" ]; then
+        # model_staging: a finalized-but-unpromoted save from a run that
+        # was killed mid-promotion; checkpoint.restore resolves it
         ckpt="$RESULT_DIR/model_latest"
         [ -d "$ckpt" ] || ckpt="$RESULT_DIR/model"
         # strip any --init_from pair; resume supersedes it
