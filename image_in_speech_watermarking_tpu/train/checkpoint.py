@@ -130,6 +130,64 @@ def wait_for_saves() -> None:
         _pending_promote = None
 
 
+def pour_like(template: Any, stored: Any, fit=None) -> Any:
+    """Pour an orbax-restored nested dict/list back into a typed
+    template pytree BY KEY PATH, not position.
+
+    Positional zip of flattened leaves is wrong whenever a namedtuple's
+    field order differs from alphabetical order: orbax serializes
+    namedtuples as dicts of field names and restores dicts with sorted
+    keys, so e.g. ``optax.ApplyIfFiniteState(notfinite_count,
+    last_finite, total_notfinite, inner_state)`` comes back with
+    ``inner_state`` FIRST while the template flattens it LAST —
+    observed round 4 as ``checkpoint leaf shape (512,) does not fit
+    template ()`` on every flagship_r4_pw resume. (Round-3 states only
+    zipped correctly because every namedtuple in a plain adamw chain
+    happens to have alphabetically-ordered fields.)
+
+    ``fit(template_leaf, stored_leaf)`` adapts each leaf (defaults to
+    returning the stored leaf); tuples saved by orbax come back as
+    lists or as dicts with ``'0','1',...`` keys — both are handled.
+    """
+    if fit is None:
+        def fit(tpl, leaf):
+            return leaf
+
+    def child(sto, name, idx):
+        if isinstance(sto, dict):
+            if name in sto:
+                return sto[name]
+            if str(idx) in sto:
+                return sto[str(idx)]
+            raise KeyError(
+                f"checkpoint is missing field {name!r} "
+                f"(stored keys: {sorted(sto)})")
+        if isinstance(sto, (list, tuple)):
+            return sto[idx]
+        raise TypeError(
+            f"checkpoint node is a leaf ({type(sto).__name__}) where "
+            f"the template expects a container with field {name!r}")
+
+    def rec(tpl, sto):
+        if tpl is None:
+            return None
+        if hasattr(tpl, "_fields"):   # namedtuple (optax states)
+            if not tpl._fields:       # EmptyState & co: nothing stored
+                return tpl
+            return type(tpl)(*(rec(getattr(tpl, f), child(sto, f, i))
+                               for i, f in enumerate(tpl._fields)))
+        if isinstance(tpl, dict):
+            return {k: rec(v, child(sto, k, i))
+                    for i, (k, v) in enumerate(tpl.items())}
+        if isinstance(tpl, (list, tuple)):
+            vals = [rec(v, child(sto, str(i), i))
+                    for i, v in enumerate(tpl)]
+            return vals if isinstance(tpl, list) else tuple(vals)
+        return fit(tpl, sto)
+
+    return rec(template, stored)
+
+
 def restore(path: str, like: Any = None) -> dict:
     """Restore a checkpoint; with ``like`` (a template pytree, e.g. a
     freshly-initialized state) the stored leaves are poured back into the
@@ -140,10 +198,7 @@ def restore(path: str, like: Any = None) -> dict:
     restored = ckptr.restore(_resolve(os.path.abspath(path)))
     if like is None:
         return restored
-    leaves, treedef = jax.tree.flatten(like)
-    rleaves = jax.tree.leaves(restored)
-    assert len(leaves) == len(rleaves), (len(leaves), len(rleaves))
-    return jax.tree.unflatten(treedef, rleaves)
+    return pour_like(like, restored)
 
 
 def save_model_cfg(path: str, model_cfg: Any) -> str:

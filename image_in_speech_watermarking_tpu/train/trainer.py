@@ -451,14 +451,13 @@ class Trainer:
                 f"template {ts}")
 
         # pour stored leaves field-by-field into the template's structure
-        # (optax namedtuples etc. don't survive serialization)
+        # BY KEY PATH (optax namedtuples don't survive serialization, and
+        # positional zip misorders any namedtuple whose field order isn't
+        # alphabetical — e.g. ApplyIfFiniteState; see ckpt.pour_like)
         restored = {}
         for k in like:
             sub = raw[k] if k in raw else like[k]
-            leaves = [fit(t, s) for t, s in
-                      zip(jax.tree.leaves(like[k]), jax.tree.leaves(sub))]
-            restored[k] = jax.tree.unflatten(jax.tree.structure(like[k]),
-                                             leaves)
+            restored[k] = ckpt.pour_like(like[k], sub, fit)
         if params_only:
             state = dataclasses.replace(
                 template, params=restored["params"],
