@@ -357,11 +357,38 @@ def phase_walk(key, wav: jnp.ndarray, step_rad: float = 0.8) -> jnp.ndarray:
     robust-bank ``lax.switch`` (see time_stretch_wave); the rotation is
     cos/sin of a key-derived walk — no abs/angle, so no NaN pole on the
     training graph (contrast phase_vocoder's guarded gradients)."""
+    return _phase_walk(key, wav, step_rad, uniform_init=False)
+
+
+def phase_walk_u(key, wav: jnp.ndarray,
+                 step_rad: float = 0.8) -> jnp.ndarray:
+    """``phase_walk`` started from the walk's STATIONARY state: each bin
+    gets an additional iid Uniform(-pi, pi) initial phase, constant along
+    frames.
+
+    Why: the whole-wave vocoder roundtrip's decode damage GROWS with
+    clip position (scripts/r4_vocoder_decomp.py on the pw flagship:
+    clip 0 at 0.002, late clips 0.05-0.11) because the synthesis phase
+    accumulates over the whole utterance, while the per-clip training
+    branch's walk always starts at zero — the easy clip-0 regime. A
+    late clip sees the walk's accumulated state, which mod 2pi is
+    uniform per bin; a STATIC uniform all-pass alone reproduces the
+    late-clip damage on every clip (r4_decomp2: 0.0532 flat vs the real
+    roundtrip's 0.0616). ``phase_walk_u-0.0`` IS that static all-pass;
+    ``phase_walk_u-0.8`` adds the frame-to-frame decoherence on top."""
+    return _phase_walk(key, wav, step_rad, uniform_init=True)
+
+
+def _phase_walk(key, wav, step_rad, uniform_init):
     L = wav.shape[-1]
     w = _hann(_PV_N_FFT)
     spec = stft(wav, _PV_N_FFT, hop_length=_PV_HOP, window=w, method="fft")
-    steps = jax.random.normal(key, spec.shape) * step_rad
+    k_walk, k_init = jax.random.split(key)
+    steps = jax.random.normal(k_walk, spec.shape) * step_rad
     theta = jnp.cumsum(steps, axis=-1)                 # walk along frames
+    if uniform_init:
+        theta = theta + jax.random.uniform(
+            k_init, spec.shape[:-1] + (1,), minval=-jnp.pi, maxval=jnp.pi)
     rot = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
     return istft(spec * rot, _PV_N_FFT, hop_length=_PV_HOP, window=w,
                  length=L, method="fft")
@@ -442,6 +469,7 @@ ATTACKS: Dict[str, Callable] = {
     "time_warp": time_warp,
     "phase_noise": phase_noise,
     "phase_walk": phase_walk,
+    "phase_walk_u": phase_walk_u,
     "vocoder_roundtrip": vocoder_roundtrip,
     "time_scaling": time_scaling,
     "pitch_scaling": pitch_scaling,
@@ -463,6 +491,7 @@ _PARAM_NAME = {
     "time_warp": ("max_pct", float),
     "phase_noise": ("max_rad", float),
     "phase_walk": ("step_rad", float),
+    "phase_walk_u": ("step_rad", float),
     "vocoder_roundtrip": ("scaling_factor", float),
     "time_scaling": ("scaling_factor", float),
     "pitch_scaling": ("scaling_factor", float),

@@ -404,3 +404,42 @@ def test_phase_walk_scrambles_phase_with_finite_grads():
     assert bool(jnp.isfinite(g).all())
     g0 = jax.grad(lambda w: jnp.sum(fn(KEY, w) ** 2))(jnp.zeros(16000))
     assert bool(jnp.isfinite(g0).all())
+
+
+def test_phase_walk_u_stationary_init():
+    """phase_walk_u (round-4b): phase_walk started from the walk's
+    stationary state — iid Uniform(-pi,pi) initial phase per 2048-grid
+    bin, constant along frames. The whole-wave vocoder roundtrip's
+    decode damage grows with clip position because the synthesis phase
+    accumulates over the utterance (scripts/r4_vocoder_decomp.py: clip 0
+    at 0.002, late clips 0.05-0.11); the static uniform all-pass
+    (step_rad=0) alone reproduces the late-clip damage on every clip
+    (scripts/r4_decomp2.py: 0.0532 flat vs roundtrip 0.0616), so the
+    training branch must sample it."""
+    from image_in_speech_watermarking_tpu import data
+
+    wav = jnp.asarray(data.synthetic_speech(16000, seed=4))
+    # step 0 = pure static all-pass: length-preserving, energy-
+    # preserving-ish, heavy waveform damage
+    fn0 = get_attack("phase_walk_u-0.0")
+    out0 = fn0(KEY, wav)
+    assert out0.shape == wav.shape
+    assert bool(jnp.isfinite(out0).all())
+    rel0 = float(jnp.mean((out0 - wav) ** 2) / jnp.mean(wav ** 2))
+    assert rel0 > 0.3
+    # all-pass keeps substantial energy (the ISTFT of the inconsistent
+    # rotated STFT projects onto consistent signals, so some loss is
+    # expected — this guards against a near-zero/blown-up output)
+    e = float(jnp.sum(out0 ** 2) / jnp.sum(wav ** 2))
+    assert 0.1 < e < 2.0
+    # with a walk on top it differs from the static case and from
+    # zero-init phase_walk under the same key
+    outw = get_attack("phase_walk_u-0.8")(KEY, wav)
+    assert float(jnp.mean(jnp.abs(outw - out0))) > 0.0
+    outz = get_attack("phase_walk-0.8")(KEY, wav)
+    assert float(jnp.mean(jnp.abs(outw - outz))) > 0.0
+    # finite grads on exact-zero regions (rides the training graph)
+    half = jnp.asarray(np.concatenate(
+        [np.asarray(wav[:8000]), np.zeros(8000, np.float32)]))
+    g = jax.grad(lambda w: jnp.sum(fn0(KEY, w) ** 2))(half)
+    assert bool(jnp.isfinite(g).all())
