@@ -599,6 +599,7 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
     anchor = None        # best ROLL-REPAIRABLE candidate (see below)
     anchor_verified = False
     saw_deletion_tail = False
+    unstretch = None     # the physically-implied candidate (see below)
     _stab_cache: dict = {}
 
     def locked(cand) -> bool:
@@ -631,6 +632,8 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         saw_deletion_tail |= name.startswith("detail[")
         dec = extract_fn(wave)
         score = confidence(dec)
+        if name.startswith("unstretch["):
+            unstretch = (wave, dec, name, score)
         if best is None or score < best[3]:
             best = (wave, dec, name, score)
         # Pitch candidates are a TERMINAL hypothesis: either the inverse
@@ -727,6 +730,21 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
                                          roll_fns=roll_fns)
         if c < ACCEPT_THRESHOLD or c < best[3] - REPAIR_MARGIN:
             best = (anchor[0], dec, f"{anchor[2]}+piecewise", c)
+    if not locked(best) and unstretch is not None \
+            and best[3] > unstretch[3] - REPAIR_MARGIN:
+        # Physical prior (round-4b): a received length off by more than
+        # vocoder_threshold means the time base was REALLY stretched —
+        # the battery's only such attack is the phase vocoder — so the
+        # inverse-stretch hypothesis is evidence in itself. When no
+        # candidate locked, the remaining confidence differences are
+        # coin flips inside the garbage band (measured on the vocoder
+        # rows: pitch[-6] 0.1722 vs unstretch 0.1811 picked the WORSE
+        # decode, 0.0775 vs 0.0616 true MSE — scripts/r4_sync_probe.py),
+        # and a wrong terminal hypothesis must not out-rank the
+        # physically-implied one unless it beats it by a real margin.
+        _dbg(f"prior: {best[2]}@{best[3]:.4f} -> {unstretch[2]}"
+             f"@{unstretch[3]:.4f}")
+        best = unstretch
     if locked(best) and make_roll_fns is not None:
         # globally locked, but a drifted minority of clips may remain
         # (none of the repair stages above ran) — per-clip gated repair.

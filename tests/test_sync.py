@@ -444,3 +444,72 @@ def test_set_profile_rebinds_and_restores():
     finally:
         sync.set_profile("ri")
     assert sync.STABILITY_LOCK == sync.RI_PROFILE.stability_lock
+
+
+def test_unstretch_prior_beats_garbage_coinflip(monkeypatch):
+    # round-4b regression (scripts/r4_sync_probe.py): on a REAL stretch
+    # (received length off by >> vocoder_threshold) where nothing locks,
+    # the confidence differences between candidates are coin flips
+    # inside the garbage band, and a pitch hypothesis at conf 0.1722
+    # beat the physically-implied unstretch at 0.1811 even though the
+    # unstretch decode was the better one (true MSE 0.0616 vs 0.0775).
+    # The physical prior must return the unstretch decode unless some
+    # other candidate beats it by REPAIR_MARGIN.
+    L = 8000
+    wave = data.synthetic_speech(L, seed=11)
+    att = np.asarray(wf.time_stretch_wave(jnp.asarray(wave), 0.9))
+    assert len(att) != L
+    un_dec = np.full((4, 32, 32, 1), 0.30, np.float32)   # conf 0.30
+    pitch_dec = np.full((4, 32, 32, 1), 0.29, np.float32)  # conf 0.29
+
+    real_candidates = sync.resync_candidates
+
+    def tagged_candidates(a, ln, **kw):
+        return real_candidates(a, ln, **kw)
+
+    monkeypatch.setattr(sync, "resync_candidates", tagged_candidates)
+
+    def extract(w):
+        cands = dict(real_candidates(att, L, stage="base"))
+        un = [v for k, v in cands.items() if k.startswith("unstretch")][0]
+        if w.shape == un.shape and np.allclose(w, un):
+            return un_dec
+        if len(w) == L and np.std(w) > 0 and not np.allclose(w[:64],
+                                                             un[:64]):
+            return pitch_dec        # every other candidate "wins" conf
+        return pitch_dec
+
+    _, dec, name, conf = sync.best_candidate(att, L, extract,
+                                             max_shift=8)
+    assert name.startswith("unstretch"), name
+    assert np.allclose(dec, un_dec)
+
+
+def test_unstretch_prior_yields_to_real_lock(monkeypatch):
+    # the prior only arbitrates between GARBAGE candidates: a pitch
+    # hypothesis that genuinely locks (conf < LOCK_THRESHOLD) keeps
+    # winning over an unlocked unstretch decode
+    L = 8000
+    wave = data.synthetic_speech(L, seed=12)
+    att = np.asarray(wf.time_stretch_wave(jnp.asarray(wave), 0.9))
+    assert len(att) != L
+    real_candidates = sync.resync_candidates
+    locked_dec = np.full((4, 32, 32, 1), 0.99, np.float32)  # conf 0.01
+
+    def fake_candidates(a, ln, **kw):
+        if kw.get("stage") == "pitch":
+            return [("pitch[+6]", np.zeros(L, np.float32))]
+        return [c for c in real_candidates(a, ln, **kw)
+                if c[0].startswith(("unstretch", "croppad"))]
+
+    monkeypatch.setattr(sync, "resync_candidates", fake_candidates)
+
+    def extract(w):
+        if not np.any(w):
+            return locked_dec
+        return np.full((4, 32, 32, 1), 0.30, np.float32)
+
+    _, dec, name, conf = sync.best_candidate(att, L, extract,
+                                             max_shift=8)
+    assert name.startswith("pitch"), name
+    assert conf < sync.LOCK_THRESHOLD
