@@ -5,7 +5,7 @@
 # measures per-row wall time to calibrate the N=20 sweep.
 set -x
 cd "$(dirname "$0")/.."
-CKPT=${1:-results/flagship_r4_pw/model}
+CKPT=${1:-results/flagship_r4_pw2/model}
 time python -m image_in_speech_watermarking_tpu.cli.evaluate \
     --checkpoint "$CKPT" --extractor_mag \
     --size 3 --splits test --resync \

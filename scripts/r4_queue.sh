@@ -9,7 +9,7 @@
 #   5. bench
 set -x
 cd "$(dirname "$0")/.."
-CKPT=${1:-results/flagship_r4_pw/model}
+CKPT=${1:-results/flagship_r4_pw2/model}
 ATTACKS="closed_loop,amplitude_scaling-0.8,echo_addition,low_pass,awgn-15,resampling,requantization,jittering-1000,jittering_2-1000,aac,aac-64k,mp3compress-128k,mp3compress-64k,time_scaling-0.9,time_scaling-1.1,pitch_scaling,time_shift-1000"
 
 python -m image_in_speech_watermarking_tpu.cli.evaluate \
