@@ -673,11 +673,23 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
             # garbage offset ever decodes hop-stable (>= 0.0295 vs the
             # 0.006 gate).
             if prof.stability_rules:
-                accepted = stab <= STABILITY_LOCK
+                # ... AND the repair's confidence must land in the lock
+                # band. Hop-stability alone is NOT sufficient on warped
+                # (pitch/vocoder) inputs: a pitch-shifted wave decodes
+                # hop-STABLE garbage at many offsets (measured pw2,
+                # scripts/r4_sync_probe.py: pitch row finalists at stab
+                # 0.0037-0.0048, all under the 0.006 gate, true MSE
+                # 0.113 vs identity's 0.081), while every measured TRUE
+                # repair's conf sits inside the lock band (time_shift
+                # 0.0903, jittering 0.1179) and the warped-garbage rolls
+                # sit outside it (0.1298-0.1336). Stability contrast
+                # cannot be used instead: the pw2 bowl is wide and flat
+                # (true-shift finalists 743-905 all at 0.00045-0.00056).
+                accepted = stab <= STABILITY_LOCK and c < LOCK_THRESHOLD
             else:
                 accepted = (stab <= STABILITY_LOCK or conf_agrees) and (
                     c < ACCEPT_THRESHOLD or c < anchor[3] - REPAIR_MARGIN)
-            if off == 0 and stab <= STABILITY_LOCK:
+            if off == 0 and stab <= STABILITY_LOCK and c < LOCK_THRESHOLD:
                 # the stability winner is the UNROLLED anchor itself:
                 # the anchor is verified GLOBALLY aligned (aligned-but-
                 # noisy decodes, e.g. awgn, land here) — the pitch warp
@@ -716,13 +728,42 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
         # nothing locked and the alignment is not verified: synthesize
         # the pitch-inverse hypotheses (expensive host phase vocoder,
         # hence deferred to this stage)
+        sibs = []
         for name, wave in resync_candidates(att_audio, expected_len,
                                             pitch_steps=pitch_steps,
                                             stage="pitch"):
             dec = extract_fn(wave)
-            score = confidence(dec)
-            if score < best[3]:
-                best = (wave, dec, name, score)
+            sibs.append((wave, dec, name, confidence(dec)))
+        if sibs:
+            pick = min(sibs, key=lambda s: s[3])
+            near = [s for s in sibs if s[3] <= pick[3] + REPAIR_MARGIN]
+            if (prof.stability_rules and make_roll_fns is not None
+                    and len(near) > 1):
+                # Sibling degeneracy tie-break (measured on pw2,
+                # scripts/r4_pitch_probe.py, both utterances): the two
+                # pitch hypotheses' confidences are coin flips inside
+                # the garbage band (gap 0.002-0.005), but the WRONG
+                # sibling — the one that doubles the warp instead of
+                # undoing it — produces an under-excited, near-constant
+                # decode whose hop-stability is degenerately LOW
+                # (0.0027-0.0031 vs the true inverse's 0.0044-0.0080;
+                # true-inverse MSE 0.042 vs wrong 0.074-0.089). Among
+                # siblings within REPAIR_MARGIN of the conf argmin,
+                # prefer the most hop-RESPONSIVE decode.
+                def hop_responsiveness(s):
+                    _, decode_rolls = make_roll_fns(s[0])
+                    d = decode_rolls(np.asarray(
+                        [0, _EVAL_HOP, -_EVAL_HOP, 0], np.int32))
+                    return 0.5 * (float(np.mean((d[0] - d[1]) ** 2))
+                                  + float(np.mean((d[0] - d[2]) ** 2)))
+                pick = max(near, key=hop_responsiveness)
+                _dbg(f"pitch stage: degeneracy tie-break over "
+                     f"{[(s[2], round(s[3], 4)) for s in near]} "
+                     f"-> {pick[2]}")
+            if pick[3] < best[3]:
+                _dbg(f"pitch stage: {best[2]}@{best[3]:.4f} -> "
+                     f"{pick[2]}@{pick[3]:.4f}")
+                best = pick
     if not locked(best) and anchor is not None:
         # still no global lock: progressive-drift repair, clip by clip
         roll_fns = make_roll_fns(anchor[0]) if make_roll_fns else None

@@ -513,3 +513,113 @@ def test_unstretch_prior_yields_to_real_lock(monkeypatch):
                                              max_shift=8)
     assert name.startswith("pitch"), name
     assert conf < sync.LOCK_THRESHOLD
+
+
+def test_mag_roll_acceptance_requires_lock_band_conf():
+    """Round-4c regression (scripts/r4_sync_probe.py, pitch row on pw2):
+    a pitch-WARPED wave decodes hop-stable garbage at many offsets
+    (finalist stabs 0.0037-0.0048, under the 0.006 gate), so a
+    stability-only acceptance blessed a roll whose true MSE (0.113) was
+    worse than plain identity (0.081). Every measured TRUE repair's
+    confidence sits inside the lock band (0.0903-0.1179) and the warped
+    garbage rolls outside it (0.1298+); the mag acceptance must require
+    both. Here: every offset decodes the SAME garbage glyph (perfectly
+    hop-stable) at conf ~0.16 — the roll stage must not accept it."""
+    sync.set_profile("mag")
+    try:
+        L = 16000
+        att = data.synthetic_speech(L, seed=21)
+        frozen = np.clip(np.tile(
+            (np.random.default_rng(5).random((1, 32, 32, 1)) > 0.5)
+            .astype(np.float32), (4, 1, 1, 1)) + 0.16, 0, 0.84)
+
+        def extract(w):
+            return frozen                       # hop-stable everywhere
+
+        def make_roll_fns(wave):
+            return _host_roll_fns(wave, extract)
+
+        _, dec, name, conf = sync.best_candidate(
+            att, L, extract, max_shift=256, make_roll_fns=make_roll_fns)
+        assert "+roll[" not in name, name
+    finally:
+        sync.set_profile("ri")
+
+
+def test_pitch_sibling_degeneracy_tie_break(monkeypatch):
+    """Round-4c regression (scripts/r4_pitch_probe.py, pw2 both
+    utterances): the two pitch-inverse hypotheses' confidences are coin
+    flips (gap 0.002-0.005, both in the garbage band), and the WRONG
+    sibling (which doubles the warp) decodes a degenerately over-STABLE
+    near-constant glyph (hop-stab 0.0027-0.0031 vs the true inverse's
+    0.0044-0.0080). Within REPAIR_MARGIN of the conf argmin the stage
+    must prefer the hop-RESPONSIVE sibling even when the degenerate one
+    has marginally better confidence."""
+    sync.set_profile("mag")
+    try:
+        L = 16000
+        att = data.synthetic_speech(L, seed=22)
+        rng = np.random.default_rng(9)
+        true_wave = np.asarray(rng.normal(size=L), np.float32)
+        wrong_wave = np.asarray(rng.normal(size=L), np.float32)
+        # true sibling: structured decode, conf ~0.155, CHANGES under a
+        # +-hop roll (responsive); wrong sibling: conf ~0.153 (wins the
+        # coin flip) but identical decode at every roll (degenerate)
+        glyph = np.tile((rng.random((1, 32, 32, 1)) > 0.5)
+                        .astype(np.float32), (4, 1, 1, 1))
+        wrong_dec = np.full((4, 32, 32, 1), 0.153, np.float32)
+
+        def true_dec(off):
+            jig = 0.02 * np.sin(off + np.arange(1024, dtype=np.float32)
+                                ).reshape(1, 32, 32, 1) ** 2
+            return np.clip(glyph + 0.155 + jig - 0.01, 0, 0.845)
+
+        def which(w):
+            if len(w) == L and np.allclose(w, true_wave):
+                return "true"
+            if len(w) == L and np.allclose(w, wrong_wave):
+                return "wrong"
+            return None
+
+        def extract(w):
+            kind = which(np.asarray(w))
+            if kind == "true":
+                return true_dec(0)
+            if kind == "wrong":
+                return wrong_dec
+            return np.clip(glyph + 0.18, 0, 0.82)   # garbage elsewhere
+
+        real_candidates = sync.resync_candidates
+
+        def fake_candidates(a, ln, **kw):
+            if kw.get("stage") == "pitch":
+                return [("pitch[+6]", true_wave),
+                        ("pitch[-6]", wrong_wave)]
+            return [c for c in real_candidates(a, ln, **kw)]
+
+        monkeypatch.setattr(sync, "resync_candidates", fake_candidates)
+
+        def make_roll_fns(wave):
+            kind = which(np.asarray(wave))
+
+            def decode_rolls(offs):
+                if kind == "true":
+                    return np.stack([true_dec(int(o)) for o in offs])
+                if kind == "wrong":
+                    return np.stack([wrong_dec for _ in offs])
+                return np.stack([extract(np.roll(wave, -int(o)))
+                                 for o in offs])
+
+            def score_rolls(offs):
+                d = decode_rolls(offs)
+                sats = np.mean(np.minimum(d, 1.0 - d), axis=(2, 3, 4))
+                return (np.asarray([sync.confidence(x) for x in d]),
+                        sats)
+
+            return score_rolls, decode_rolls
+
+        _, dec, name, conf = sync.best_candidate(
+            att, L, extract, max_shift=64, make_roll_fns=make_roll_fns)
+        assert name == "pitch[+6]", name
+    finally:
+        sync.set_profile("ri")
