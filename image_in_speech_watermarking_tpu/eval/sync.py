@@ -247,6 +247,7 @@ STABILITY_LOCK = 0.0025
 class SyncProfile:
     name: str
     lock: float                 # LOCK_THRESHOLD
+    roll_accept: float          # conf ceiling for a stability-verified roll
     accept: float               # ACCEPT_THRESHOLD
     repair_margin: float
     clip_unlocked: float
@@ -261,14 +262,21 @@ class SyncProfile:
 
 
 RI_PROFILE = SyncProfile(
-    name="ri", lock=0.12, accept=0.08, repair_margin=0.02,
+    name="ri", lock=0.12, roll_accept=0.12, accept=0.08, repair_margin=0.02,
     clip_unlocked=0.12, clip_accept=0.10, clip_margin=0.02,
     clip_stability=0.0045, stability_lock=0.0025,
     coarse_stride=3, basin_radius=8, descent=(-2, -1, 1, 2),
     stability_rules=False)
 
+# roll_accept: the measured TRUE repairs' conf (time_shift 0.0903,
+# jittering deletion 0.1179) vs the warped-garbage rolls (0.1298-0.1336)
+# leave only 0.002 headroom if the gate reuses lock=0.12 — per-utterance
+# variance could push a true deletion repair over it. 0.124 is the
+# midpoint of the measured bands (0.006 margin to true, 0.006 to
+# garbage).
 MAG_PROFILE = SyncProfile(
-    name="mag", lock=0.12, accept=0.05, repair_margin=0.02,
+    name="mag", lock=0.12, roll_accept=0.124, accept=0.05,
+    repair_margin=0.02,
     clip_unlocked=0.12, clip_accept=0.115, clip_margin=0.02,
     clip_stability=0.0065, stability_lock=0.006,
     coarse_stride=5, basin_radius=16,
@@ -665,31 +673,36 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
             # hop-stability gate (see STABILITY_LOCK): without it,
             # lattice hallucinations pass the confidence margins;
             # conf_agrees covers extractors without hop tolerance. For
-            # the mag profile stability is the ONLY admissible evidence
-            # — conf_agrees is unreliable (the conf argmin can be a
-            # garbage dip below the bowl's neighbours) and the conf
-            # margin can reject a true repair (true 0.0892 vs a garbage
-            # anchor at 0.0904 is inside any sane margin), while no
-            # garbage offset ever decodes hop-stable (>= 0.0295 vs the
-            # 0.006 gate).
+            # the mag profile a roll is accepted on COMPOSITE evidence —
+            # hop-stability AND a confidence inside the roll-accept
+            # band. Neither signal suffices alone: conf_agrees is
+            # unreliable (the conf argmin can be a garbage dip below the
+            # bowl's neighbours) and the conf margin can reject a true
+            # repair (true 0.0892 vs a garbage anchor at 0.0904 is
+            # inside any sane margin); hop-stability alone is defeated
+            # by warped (pitch/vocoder) inputs, which decode hop-STABLE
+            # garbage at many offsets (measured pw2,
+            # scripts/r4_sync_probe.py: pitch-row roll finalists at stab
+            # 0.0037-0.0048, all under the 0.006 gate, true MSE 0.113 vs
+            # identity's 0.081). Every measured TRUE repair's conf sits
+            # inside the roll-accept band (time_shift 0.0903, jittering
+            # 0.1179) and the warped-garbage rolls sit outside it
+            # (0.1298-0.1336); stability contrast cannot substitute —
+            # the pw2 bowl is wide and flat (true-shift finalists
+            # 743-905 all at 0.00045-0.00056).
             if prof.stability_rules:
-                # ... AND the repair's confidence must land in the lock
-                # band. Hop-stability alone is NOT sufficient on warped
-                # (pitch/vocoder) inputs: a pitch-shifted wave decodes
-                # hop-STABLE garbage at many offsets (measured pw2,
-                # scripts/r4_sync_probe.py: pitch row finalists at stab
-                # 0.0037-0.0048, all under the 0.006 gate, true MSE
-                # 0.113 vs identity's 0.081), while every measured TRUE
-                # repair's conf sits inside the lock band (time_shift
-                # 0.0903, jittering 0.1179) and the warped-garbage rolls
-                # sit outside it (0.1298-0.1336). Stability contrast
-                # cannot be used instead: the pw2 bowl is wide and flat
-                # (true-shift finalists 743-905 all at 0.00045-0.00056).
-                accepted = stab <= STABILITY_LOCK and c < LOCK_THRESHOLD
+                accepted = stab <= STABILITY_LOCK and c < prof.roll_accept
             else:
                 accepted = (stab <= STABILITY_LOCK or conf_agrees) and (
                     c < ACCEPT_THRESHOLD or c < anchor[3] - REPAIR_MARGIN)
-            if off == 0 and stab <= STABILITY_LOCK and c < LOCK_THRESHOLD:
+            # the extra conf clause below is a mag-profile rule: on the
+            # ri profile an aligned-but-noisy decode (awgn measured
+            # ~0.122) sits above lock=0.12 and must still take the
+            # verified-alignment shortcut — losing it triggers the
+            # ~1 min/utterance host phase-vocoder pitch stage the
+            # shortcut exists to skip (ADVICE r4, medium).
+            if off == 0 and stab <= STABILITY_LOCK and (
+                    not prof.stability_rules or c < LOCK_THRESHOLD):
                 # the stability winner is the UNROLLED anchor itself:
                 # the anchor is verified GLOBALLY aligned (aligned-but-
                 # noisy decodes, e.g. awgn, land here) — the pitch warp
@@ -749,14 +762,23 @@ def best_candidate(att_audio: np.ndarray, expected_len: int,
                 # (0.0027-0.0031 vs the true inverse's 0.0044-0.0080;
                 # true-inverse MSE 0.042 vs wrong 0.074-0.089). Among
                 # siblings within REPAIR_MARGIN of the conf argmin,
-                # prefer the most hop-RESPONSIVE decode.
+                # prefer the most hop-RESPONSIVE decode — but cap the
+                # responsiveness at the garbage band (calibration:
+                # fully-garbage decodes are maximally unstable,
+                # stab >= 0.0295): "responsive" must not be able to mean
+                # "garbage" if more than two hypotheses are ever in play
+                # (ADVICE r4, low).
                 def hop_responsiveness(s):
                     _, decode_rolls = make_roll_fns(s[0])
                     d = decode_rolls(np.asarray(
                         [0, _EVAL_HOP, -_EVAL_HOP, 0], np.int32))
                     return 0.5 * (float(np.mean((d[0] - d[1]) ** 2))
                                   + float(np.mean((d[0] - d[2]) ** 2)))
-                pick = max(near, key=hop_responsiveness)
+                scored = [(s, hop_responsiveness(s)) for s in near]
+                live = [sr for sr in scored
+                        if sr[1] < STABILITY_LOCK * 4]
+                if live:
+                    pick = max(live, key=lambda sr: sr[1])[0]
                 _dbg(f"pitch stage: degeneracy tie-break over "
                      f"{[(s[2], round(s[3], 4)) for s in near]} "
                      f"-> {pick[2]}")
