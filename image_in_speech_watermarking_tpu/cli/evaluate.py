@@ -65,6 +65,12 @@ def main(argv=None):
                    help="phase-invariant |STFT| extractor channel; must "
                         "match the checkpoint's training run (see "
                         "UformerConfig.extractor_mag)")
+    p.add_argument("--wm_pilot", action="store_true",
+                   help="checkpoint was trained with the in-band sync "
+                        "pilot (data.watermark.stamp_pilot): stamp eval "
+                        "messages the same way and drive the sync search "
+                        "by pilot-region decode error instead of the "
+                        "blind confidence cascade")
     p.add_argument("--splits", default="train,test",
                    help="comma list of splits to sweep (the reference "
                         "always does both, evaluate.py:327-331; a single "
@@ -75,7 +81,12 @@ def main(argv=None):
     # extractor's confidence/stability landscape differs qualitatively
     # from the real/imag one (eval/sync.py SyncProfile notes)
     from image_in_speech_watermarking_tpu.eval import sync as _sync
-    _sync.set_profile("mag" if args.extractor_mag else "ri")
+    if args.wm_pilot:
+        _sync.set_profile("pilot")
+        _sync.set_pilot(data.pilot_pattern())
+    else:
+        _sync.set_profile("mag" if args.extractor_mag else "ri")
+        _sync.set_pilot(None)
 
     model = models.get_arch(args.arch, embed_dim=args.embed_dim,
                             stft_residual=args.stft_residual,
@@ -84,6 +95,8 @@ def main(argv=None):
 
     msgs = data.digit_watermarks(8, seed=0) \
         if args.wm_source == "digits" else data.binary_watermarks(8, seed=0)
+    if args.wm_pilot:
+        msgs = data.stamp_pilot(msgs)
 
     datasets = {}
     for split in tuple(s for s in args.splits.split(",") if s):

@@ -103,6 +103,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "noiser topology, baseline-size program); 'aux' "
                         "= extra attacked-decode loss term (doubles the "
                         "extractor in the program)")
+    p.add_argument("--wm_pilot", action="store_true",
+                   help="stamp the in-band sync pilot "
+                        "(data.watermark.stamp_pilot) into every training "
+                        "message; at eval --wm_pilot drives the sync "
+                        "search by pilot decode error")
+    p.add_argument("--robust_seam", action="store_true",
+                   help="channel mode: attack consecutive clip PAIRS as "
+                        "one continuous wave (overlap-add seam between "
+                        "them), so the extractor trains on the clip-seam "
+                        "interference it sees at eval (round-4 "
+                        "decomposition residual, round4_demo §2f)")
     p.add_argument("--no_epoch_scan", action="store_true",
                    help="disable the device-resident epoch lax.scan and "
                         "run the per-step host loop (smaller XLA program; "
@@ -156,7 +167,8 @@ def main(argv=None) -> str:
     # epoch-keyed stream: makes --resume reproduce the uninterrupted run
     wm = lambda epoch: data.watermark_stream(  # noqa: E731
         args.batch_size, source=args.wm_source,
-        seed=args.seed + 7919 * epoch, image_scale=args.image_scale)
+        seed=args.seed + 7919 * epoch, image_scale=args.image_scale,
+        pilot=args.wm_pilot)
 
     # run-dir naming parity: results/<arch>-<dataset>-<timestamp>
     # (audio_uformer_stft.py:373-379)
@@ -170,7 +182,7 @@ def main(argv=None) -> str:
     freeze = tuple(s for s in args.freeze.split(",") if s)
     trainer = Trainer(model, cfg, steps_per_epoch=steps, mesh=mesh,
                       robust_attacks=robust, robust_mode=args.robust_mode,
-                      freeze=freeze)
+                      robust_seam=args.robust_seam, freeze=freeze)
     trainer.fit(ds, wm, result_dir=result_dir, resume_from=args.resume,
                 init_from=args.init_from,
                 early_stop_patience=args.early_stop,

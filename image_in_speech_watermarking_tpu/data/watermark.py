@@ -101,20 +101,52 @@ def try_mnist_watermarks(batch: int, root: str, seed: int = 0,
     return out
 
 
+# ---------------------------------------------------------------------------
+# In-band sync pilot (round 5, beyond reference parity — the reference
+# has no sync story at all): a fixed KNOWN pattern stamped into a small
+# corner of every 32x32 message. At eval time "does the pilot decode?"
+# is a calibrated, per-clip, model-independent alignment signal that
+# replaces most of the hand-measured blind-confidence gates in
+# eval/sync.py (VERDICT r4 next-step #4). 2x2-pixel blocks (not 1-px
+# checkerboard) so the pattern survives the ConvAutoencoder's 4x spatial
+# bottleneck; top-left corner, 8x8 = 6.25% of payload area.
+
+PILOT_SIZE = 8
+PILOT_BLOCK = 2
+
+
+def pilot_pattern(size: int = PILOT_SIZE,
+                  block: int = PILOT_BLOCK) -> np.ndarray:
+    """(size, size) deterministic block-checkerboard pilot, values {0,1}."""
+    idx = np.arange(size) // block
+    return ((idx[:, None] + idx[None, :]) % 2).astype(np.float32)
+
+
+def stamp_pilot(msgs: np.ndarray) -> np.ndarray:
+    """Overwrite the pilot corner of (..., 32, 32, 1) messages with the
+    canonical pattern. Returns a copy."""
+    out = np.array(msgs, dtype=np.float32, copy=True)
+    out[..., :PILOT_SIZE, :PILOT_SIZE, 0] = pilot_pattern()
+    return out
+
+
 def watermark_stream(batch: int, source: str = "digits", seed: int = 0,
                      image_scale: float = 1.0,
-                     mnist_root: str = "data") -> Iterator[np.ndarray]:
+                     mnist_root: str = "data",
+                     pilot: bool = False) -> Iterator[np.ndarray]:
     """Endless watermark batches (the reference re-iterates its DataLoader
-    on StopIteration, audio_uformer_stft.py:425-431)."""
+    on StopIteration, audio_uformer_stft.py:425-431). ``pilot`` stamps
+    the in-band sync pilot into every message."""
     i = 0
     while True:
         s = seed + i
         if source == "binary":
-            yield binary_watermarks(batch, s, image_scale)
+            wm = binary_watermarks(batch, s, image_scale)
         elif source == "mnist":
             wm = try_mnist_watermarks(batch, mnist_root, s, image_scale)
-            yield wm if wm is not None else digit_watermarks(batch, s,
-                                                            image_scale)
+            if wm is None:
+                wm = digit_watermarks(batch, s, image_scale)
         else:
-            yield digit_watermarks(batch, s, image_scale)
+            wm = digit_watermarks(batch, s, image_scale)
+        yield stamp_pilot(wm) if pilot else wm
         i += 1

@@ -162,21 +162,27 @@ def _rolled_extract(model, variables, padded_wave, off, valid_len,
 @partial(jax.jit, static_argnums=(0, 4, 5))
 def _score_rolls_jit(model, variables, padded_wave, offsets, model_name,
                      audio_scale, valid_len, n_clips,
-                     data_min=0.0, data_max=1.0):
-    """Blind lock scores for a whole BLOCK of candidate roll offsets in
+                     data_min=0.0, data_max=1.0, pilot=None):
+    """Lock scores for a whole BLOCK of candidate roll offsets in
     ONE device program. The sync offset search is tunnel-bound when it
     ships rolled waves up and full decodes down (measured ~1.6 s/block
     of 16 through the remote-TPU tunnel); rolling on device and
-    returning only (confidence (B,), per-clip saturation (B, n)) makes
-    a block cost bytes, not megabytes. Scores match eval/sync.py's
+    returning only (confidence (B,), per-clip score (B, n)) makes
+    a block cost bytes, not megabytes. Blind scores match eval/sync.py's
     ``confidence`` (saturation + 2x cross-clip variance) over the
-    ``n_clips`` valid clips."""
+    ``n_clips`` valid clips; with ``pilot`` (ph, pw) the scores are
+    pilot-region MSE instead (sync.pilot_error / _per_clip_score)."""
     def one(off):
         w = _rolled_extract(model, variables, padded_wave, off, valid_len,
                             model_name, audio_scale, data_min, data_max)
         w = w.astype(jnp.float32)
         m = (jnp.arange(w.shape[0]) < n_clips).astype(jnp.float32)
         denom = jnp.maximum(jnp.sum(m), 1.0)
+        if pilot is not None:
+            ph, pw = pilot.shape
+            pe_pc = jnp.mean(
+                jnp.square(w[:, :ph, :pw, 0] - pilot), axis=(1, 2))
+            return jnp.sum(pe_pc * m) / denom, pe_pc
         sat_pc = jnp.mean(jnp.minimum(w, 1.0 - w), axis=(1, 2, 3))
         sat = jnp.sum(sat_pc * m) / denom
         mw = m[:, None, None, None]
@@ -275,10 +281,13 @@ def reconstruct_audio(wave: np.ndarray, clips, valid_last: int, message,
         n_att = -(-frames_att // CLIP_FRAMES)
 
         def score_rolls(offs):
+            from image_in_speech_watermarking_tpu.eval import sync as _s
+            pilot = _s.get_pilot()
             conf, sat = _score_rolls_jit(
                 model, variables, pad, jnp.asarray(offs, jnp.int32),
                 model_name, audio_scale, jnp.int32(att_len),
-                jnp.int32(n_att), float(data_min), float(data_max))
+                jnp.int32(n_att), float(data_min), float(data_max),
+                None if pilot is None else jnp.asarray(pilot))
             return np.asarray(conf), np.asarray(sat)[:, :n_att]
 
         def decode_rolls(offs):

@@ -141,9 +141,56 @@ def _fix_len(wav: np.ndarray, n: int) -> np.ndarray:
     return wav.astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# In-band pilot (round 5): when the checkpoint was trained with
+# data.watermark.stamp_pilot, every decode carries a KNOWN pattern in
+# its corner and alignment evidence becomes "does the pilot decode?" —
+# a calibrated, per-clip, model-independent signal that replaces the
+# blind saturation/stability gates (VERDICT r4 next-step #4). Activated
+# by set_pilot(); all scorers (host + device, global + per-clip) then
+# measure pilot-region MSE instead of the blind composite.
+
+_PILOT: Optional[np.ndarray] = None
+
+
+def set_pilot(pattern: Optional[np.ndarray]) -> None:
+    """Activate pilot-driven scoring (None deactivates). The eval CLI
+    calls this for --wm_pilot checkpoints, alongside set_profile('pilot')."""
+    global _PILOT
+    _PILOT = None if pattern is None else np.asarray(pattern, np.float32)
+
+
+def get_pilot() -> Optional[np.ndarray]:
+    return _PILOT
+
+
+def pilot_error(decodes: np.ndarray) -> float:
+    """Mean squared error of the decoded pilot region vs the known
+    pattern, averaged over clips — lower is better. Aligned decodes sit
+    at the clean WM-MSE level; misaligned garbage decodes a ~0.5-mean
+    blur against a {0,1} pattern (~0.25)."""
+    w = np.asarray(decodes, np.float32)
+    ph, pw = _PILOT.shape
+    return float(np.mean((w[..., :ph, :pw, 0] - _PILOT) ** 2))
+
+
+def _per_clip_score(w: np.ndarray) -> np.ndarray:
+    """(n, 32, 32, 1) -> (n,) per-clip lock score: pilot-region MSE when
+    the pilot is active, blind saturation otherwise."""
+    w = np.asarray(w, np.float32)
+    if _PILOT is not None:
+        ph, pw = _PILOT.shape
+        return np.mean((w[:, :ph, :pw, 0] - _PILOT) ** 2, axis=(1, 2))
+    return np.mean(np.minimum(w, 1.0 - w), axis=(1, 2, 3))
+
+
 def confidence(decodes: np.ndarray) -> float:
-    """Blind lock score for per-clip watermark decodes (n, 32, 32, 1) —
-    lower is better. Saturation + cross-clip variance (see module doc)."""
+    """Lock score for per-clip watermark decodes (n, 32, 32, 1) — lower
+    is better. Pilot-region MSE when a pilot is active (direct evidence);
+    otherwise the blind saturation + cross-clip variance composite (see
+    module doc)."""
+    if _PILOT is not None:
+        return pilot_error(decodes)
     w = np.asarray(decodes, np.float32)
     saturation = float(np.mean(np.minimum(w, 1.0 - w)))
     agreement = float(np.mean(np.var(w, axis=0))) if w.shape[0] > 1 else 0.0
@@ -268,6 +315,25 @@ RI_PROFILE = SyncProfile(
     coarse_stride=3, basin_radius=8, descent=(-2, -1, 1, 2),
     stability_rules=False)
 
+# Pilot profile: scores are pilot-region MSE (direct evidence, see
+# set_pilot). An aligned decode's pilot error sits at the clean WM-MSE
+# level (0.002 clean, <=0.05 noisy-but-aligned); garbage decodes a
+# ~0.5-mean blur against the {0,1} pattern (~0.25) and hop impostors
+# decode a WRONG glyph whose pilot corner is wrong too — so one
+# threshold separates what the blind profiles needed stability probes
+# for, and stability_rules stays off. Search geometry copies the mag
+# profile (same wide alignment bowl: the pilot rides the same
+# |STFT|-channel extractor). Constants provisional until calibrated on
+# the pilot fine-tune (scripts/r4_sync_calibration.py protocol).
+PILOT_PROFILE = SyncProfile(
+    name="pilot", lock=0.08, roll_accept=0.08, accept=0.04,
+    repair_margin=0.03,
+    clip_unlocked=0.08, clip_accept=0.06, clip_margin=0.02,
+    clip_stability=0.0065, stability_lock=0.006,
+    coarse_stride=5, basin_radius=16,
+    descent=(-14, -11, -8, -6, -4, -3, -2, -1, 1, 2, 3, 4, 6, 8, 11, 14),
+    stability_rules=False)
+
 # roll_accept: the measured TRUE repairs' conf (time_shift 0.0903,
 # jittering deletion 0.1179) vs the warped-garbage rolls (0.1298-0.1336)
 # leave only 0.002 headroom if the gate reuses lock=0.12 — per-utterance
@@ -293,7 +359,8 @@ def set_profile(name: str) -> SyncProfile:
     global _PROFILE, LOCK_THRESHOLD, ACCEPT_THRESHOLD, REPAIR_MARGIN, \
         CLIP_UNLOCKED, CLIP_ACCEPT, CLIP_MARGIN, CLIP_STABILITY, \
         STABILITY_LOCK
-    prof = {"ri": RI_PROFILE, "mag": MAG_PROFILE}[name]
+    prof = {"ri": RI_PROFILE, "mag": MAG_PROFILE,
+            "pilot": PILOT_PROFILE}[name]
     _PROFILE = prof
     LOCK_THRESHOLD = prof.lock
     ACCEPT_THRESHOLD = prof.accept
@@ -484,7 +551,7 @@ def piecewise_offset_search(wave: np.ndarray, extract_fn,
     for off in offsets:
         d = np.asarray(extract_fn(np.roll(wave, -off)))
         decs.append(d)
-        sats.append(np.mean(np.minimum(d, 1.0 - d), axis=(1, 2, 3)))
+        sats.append(_per_clip_score(d))
     sat = np.stack(sats)                     # (n_offsets, n_clips)
     dec = np.stack(decs)                     # (n_offsets, n_clips, ...)
     pick = np.argmin(sat, axis=0)
@@ -511,7 +578,7 @@ def gated_piecewise_repair(decodes: np.ndarray,
     under the saturation gate). Locked clips pass through untouched.
     Returns (decodes, changed)."""
     dec = np.asarray(decodes)
-    sat0 = np.mean(np.minimum(dec, 1.0 - dec), axis=(1, 2, 3))
+    sat0 = _per_clip_score(dec)
     broken = np.nonzero(sat0 > CLIP_UNLOCKED)[0]
     if broken.size == 0:
         return dec, False
@@ -572,7 +639,7 @@ def gated_piecewise_repair(decodes: np.ndarray,
             d0, dm, dp = row[k][c], row[k - 1][c], row[k + 1][c]
             stab = 0.5 * (float(np.mean((d0 - dp) ** 2))
                           + float(np.mean((d0 - dm) ** 2)))
-            sat_c = float(np.mean(np.minimum(d0, 1.0 - d0)))
+            sat_c = float(_per_clip_score(d0[None])[0])
             if stab > CLIP_STABILITY or sat_c >= CLIP_ACCEPT \
                     or sat_c >= sat0[c] - CLIP_MARGIN:
                 continue

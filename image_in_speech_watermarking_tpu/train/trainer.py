@@ -120,6 +120,7 @@ class Trainer:
                  robust_attacks: tuple = (),
                  robust_weight: float = 1.0,
                  robust_mode: str = "channel",
+                 robust_seam: bool = False,
                  freeze: tuple = ()):
         """``robust_attacks``: optional in-graph attack-conditioned
         training (a TPU-native upgrade over the reference, which attacks
@@ -180,6 +181,7 @@ class Trainer:
         if robust_mode not in ("channel", "aux"):
             raise ValueError(f"robust_mode {robust_mode!r}")
         self.robust_mode = robust_mode
+        self.robust_seam = robust_seam
         self._step_fn = None
         self._raw_step = None
         self._epoch_fn = None
@@ -188,13 +190,32 @@ class Trainer:
     def _attack_channel(self, y, rng):
         """ISTFT the watermarked clip, apply ONE random attack from the
         bank (lax.switch over the differentiable, shape-static branches),
-        re-STFT. Returns the attacked spectrogram."""
+        re-STFT. Returns the attacked spectrogram.
+
+        ``robust_seam``: the eval chain embeds per clip, concatenates the
+        clip spectrograms, and runs ONE whole-utterance ISTFT — so at
+        extraction time each clip's edges carry overlap-add interference
+        from the NEIGHBORING clip's watermark, and a whole-wave vocoder
+        attack walks ACROSS the seam. Per-clip channel training never
+        shows the extractor either effect (the round-4 decomposition
+        localized the remaining 0.022 oracle residual to seam clips
+        3/5/8, docs/round4_demo/README.md §2f). With seam pairing on,
+        consecutive batch elements are concatenated along the frame axis,
+        ISTFT'd as one continuous 2-clip wave, attacked jointly, re-
+        STFT'd, and split back — every training clip then sees a real
+        seam on one side."""
         from image_in_speech_watermarking_tpu.attacks.waveform import (
             get_attack)
         from image_in_speech_watermarking_tpu.dsp.stft import (istft_ri,
                                                                stft_ri)
 
         mcfg = self.model.cfg
+        paired = self.robust_seam and y.shape[0] % 2 == 0
+        if paired:
+            b, bins, frames, ch = y.shape
+            y = (y.reshape(b // 2, 2, bins, frames, ch)
+                 .transpose(0, 2, 1, 3, 4)
+                 .reshape(b // 2, bins, 2 * frames, ch))
         wave = istft_ri(y, n_fft=mcfg.n_fft, hop_length=mcfg.hop_length)
         kpick, kapply = jax.random.split(rng)
         idx = jax.random.choice(kpick, len(self.robust_attacks),
@@ -218,6 +239,11 @@ class Trainer:
         wave_att = jax.lax.switch(idx, branches, wave)
         spec_att = stft_ri(wave_att, n_fft=mcfg.n_fft,
                            hop_length=mcfg.hop_length)
+        if paired:
+            spec_att = spec_att[..., :2 * frames, :]
+            spec_att = (spec_att.reshape(b // 2, bins, 2, frames, ch)
+                        .transpose(0, 2, 1, 3, 4)
+                        .reshape(b, bins, frames, ch))
         return spec_att, idx
 
     def _robust_decode_loss(self, variables, batch, noise, message, rng):
