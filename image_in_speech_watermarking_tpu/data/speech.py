@@ -63,6 +63,58 @@ def synthetic_speech(length: int, seed: int = 0,
     return (peak * sig / np.abs(sig).max()).astype(np.float32)
 
 
+def synthetic_speech_hard(length: int, seed: int = 0,
+                          sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Hardened synthetic regime (round 5, VERDICT r4 next-step #8): a
+    segment plan mixing the harmonic voiced generator with the cases the
+    smooth default never produces — long near-silences (the embedder
+    must hide energy where there is none to mask it), wideband
+    fricative noise bursts (flat-spectrum segments defeat
+    spectral-valley hiding), hard plosive onsets, and clipping-level
+    loud segments next to very quiet ones (extreme dynamics stress the
+    fixed-energy watermark's SNR at both ends)."""
+    rng = np.random.default_rng(seed)
+    out = np.zeros(length, np.float32)
+    pos = 0
+    kinds = ("voiced", "silence", "fricative", "voiced_loud", "plosive",
+             "voiced_quiet")
+    while pos < length:
+        kind = kinds[int(rng.integers(0, len(kinds)))]
+        seg_len = int(rng.uniform(0.3, 1.5) * sr)
+        seg_len = min(seg_len, length - pos)
+        if kind == "silence":
+            seg = (1e-4 * rng.standard_normal(seg_len))
+        elif kind == "fricative":
+            # high-passed noise (difference filter ~ first-order HP)
+            n = rng.standard_normal(seg_len + 1)
+            seg = 0.25 * (n[1:] - 0.95 * n[:-1])
+        elif kind == "plosive":
+            seg = 1e-4 * rng.standard_normal(seg_len)
+            burst = min(seg_len, int(0.02 * sr))
+            seg[:burst] = 0.9 * rng.standard_normal(burst) \
+                * np.exp(-np.arange(burst) / (0.004 * sr))
+        else:
+            peak = {"voiced": 0.3, "voiced_loud": 0.95,
+                    "voiced_quiet": 0.05}[kind]
+            seg = synthetic_speech(seg_len,
+                                   seed=int(rng.integers(0, 2 ** 31)),
+                                   peak=peak)
+        # 5 ms cosine cross-fade at the joint to avoid synthetic clicks
+        # (real speech has no sample-step discontinuities either)
+        fade = min(int(0.005 * sr), seg_len, pos)
+        if fade > 0:
+            ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(fade) / fade)
+            out[pos - fade:pos] *= 1.0 - ramp
+            seg = np.concatenate([seg[:fade] * ramp, seg[fade:]])
+            pos -= fade
+        out[pos:pos + len(seg)] += seg[:length - pos]
+        pos += len(seg)
+    peak = np.abs(out).max()
+    if peak > 0.98:
+        out = 0.98 * out / peak
+    return out.astype(np.float32)
+
+
 def normalize_batch(data: jnp.ndarray, audio_scale: str):
     """The reference's two scaling modes (audio_test.py:37-54,464-479):
     a scalar factor string ('0.025') or a 'min-max' range remap."""
@@ -304,4 +356,7 @@ def load_corpus(dataset: str, size: int, split: str = "train",
                     for i in range(size)]
     base = seed if split == "train" else seed + 10_000
     n = int(utt_seconds * SAMPLE_RATE)
+    if dataset == "synthetic_hard":
+        return [synthetic_speech_hard(n + 997 * i, seed=base + i)
+                for i in range(size)]
     return [synthetic_speech(n + 997 * i, seed=base + i) for i in range(size)]
