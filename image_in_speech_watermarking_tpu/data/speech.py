@@ -100,8 +100,10 @@ def synthetic_speech_hard(length: int, seed: int = 0,
                                    seed=int(rng.integers(0, 2 ** 31)),
                                    peak=peak)
         # 5 ms cosine cross-fade at the joint to avoid synthetic clicks
-        # (real speech has no sample-step discontinuities either)
-        fade = min(int(0.005 * sr), seg_len, pos)
+        # (real speech has no sample-step discontinuities either). The
+        # fade rewinds pos, so it must stay strictly shorter than the
+        # segment or the loop stops advancing on a short tail remainder.
+        fade = min(int(0.005 * sr), seg_len // 2, pos)
         if fade > 0:
             ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(fade) / fade)
             out[pos - fade:pos] *= 1.0 - ramp
