@@ -9,6 +9,7 @@
 # cache (and prove the tree green), re-runs then skip straight to
 # execution.
 #
+#   scripts/smoke_test.sh       # <3 min curated smoke tier (round 5)
 #   scripts/ci_test.sh          # default tier (8-device virtual mesh)
 #   scripts/ci_test.sh --slow   # + slow tier (training loops, torch
 #                               #   parity, full-size mesh compiles)
