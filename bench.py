@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCHES = (32, 64, 128)   # throughput operating points swept; best wins
+BATCHES = (32, 64, 128, 256)   # throughput operating points; best wins
 CLIP_SECONDS = 128 * 63 / 16000.0   # one 128-frame n_fft=255 clip
 BASELINE_X_REALTIME = 100.0
 
@@ -45,8 +45,14 @@ def _bench_batch(model, batch: int) -> float:
     out = fwd(params, x, msg)
     _ = float(out[2])
 
-    # timed: chain iterations through a data dependency so async dispatch
-    # cannot overlap away the measurement
+    # timed two ways:
+    #  - chained: each iteration consumes the previous output, so async
+    #    dispatch cannot overlap anything — a per-batch LATENCY bound.
+    #  - pipelined: independent batches enqueued back-to-back, one sync
+    #    at the end — the serving THROUGHPUT number. Through the remote
+    #    tunnel each chained step pays a full host->device dispatch RTT
+    #    that a bulk watermarker would overlap; the pipelined form lets
+    #    the device run back-to-back like a real serving queue.
     iters = 20
     t0 = time.perf_counter()
     cur = x
@@ -54,7 +60,13 @@ def _bench_batch(model, batch: int) -> float:
         audio, wm, s = fwd(params, cur, msg)
         cur = audio  # dependency chain
     _ = float(s)     # host sync on the last step's checksum
-    return (time.perf_counter() - t0) / iters
+    chained = (time.perf_counter() - t0) / iters
+
+    t0 = time.perf_counter()
+    outs = [fwd(params, x, msg)[2] for _ in range(iters)]
+    _ = [float(s) for s in outs]
+    pipelined = (time.perf_counter() - t0) / iters
+    return chained, pipelined
 
 
 def main():
@@ -74,18 +86,24 @@ def main():
     # Batch is a free serving knob for an offline/bulk watermarker; the
     # headline is the best-throughput operating point over BATCHES.
     best = None
+    best_chained = None
     per_batch = {}
     for batch in BATCHES:
-        dt = _bench_batch(model, batch)
-        x_rt = batch * CLIP_SECONDS / dt
-        per_batch[f"fwd_ms_b{batch}"] = round(dt * 1e3, 1)
+        dt_c, dt_p = _bench_batch(model, batch)
+        per_batch[f"fwd_ms_b{batch}"] = round(dt_c * 1e3, 1)
+        per_batch[f"fwd_ms_b{batch}_pipelined"] = round(dt_p * 1e3, 1)
+        x_rt = batch * CLIP_SECONDS / dt_p
+        x_rt_c = batch * CLIP_SECONDS / dt_c
         if best is None or x_rt > best[1]:
             best = (batch, x_rt)
+        if best_chained is None or x_rt_c > best_chained[1]:
+            best_chained = (batch, x_rt_c)
+    per_batch["x_realtime_chained"] = round(best_chained[1], 1)
     # f32-everywhere operating point at the bf16 winner's batch, plus the
     # numerical check: same weights/inputs under both policies, fraction
     # of thresholded payload bits agreeing and max decode deviation
-    dt32 = _bench_batch(model_f32, best[0])
-    per_batch["x_realtime_f32"] = round(best[0] * CLIP_SECONDS / dt32, 1)
+    dt32_c, dt32_p = _bench_batch(model_f32, best[0])
+    per_batch["x_realtime_f32"] = round(best[0] * CLIP_SECONDS / dt32_p, 1)
     per_batch.update(_bf16_fidelity(model, model_f32, best[0]))
 
     extra = _train_step_metrics()
