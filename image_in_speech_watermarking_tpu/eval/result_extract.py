@@ -16,11 +16,15 @@ PATTERN = (r"Result on (.*) set, attack: (.*): Total clips: (.*), "
            # with the extension fields empty): thresholded payload BER,
            # per-utterance WM-MSE spread, utterance count
            r"(?:, BER: ([^,\n]*), BER after attack: ([^,\n]*), "
-           r"WM att std: ([^,\n]*), Utterances: ([^,\n]*))?")
+           r"WM att std: ([^,\n]*), Utterances: ([^,\n]*))?"
+           # round-5 extension: codec rows record which path produced
+           # them (real ffmpeg transcode vs calibrated simulator)
+           r"(?:, Codec path: ([^,\n]*))?")
 
 FIELDNAMES = ["Set", "Attack", "Total Clips", "MSE Loss", "WM Loss",
               "WM Loss After Attack", "SNR Score", "PESQ Score",
-              "BER", "BER After Attack", "WM Att Std", "Utterances"]
+              "BER", "BER After Attack", "WM Att Std", "Utterances",
+              "Codec Path"]
 
 
 def process_data_to_csv(data: str, out_csv: str) -> list[dict]:
@@ -38,6 +42,7 @@ def process_data_to_csv(data: str, out_csv: str) -> list[dict]:
         "BER After Attack": float(r[9]) if r[9] else "",
         "WM Att Std": float(r[10]) if r[10] else "",
         "Utterances": int(r[11]) if r[11] else "",
+        "Codec Path": r[12],
     } for r in results]
     with open(out_csv, "w") as f:
         writer = csv.DictWriter(f, fieldnames=FIELDNAMES)

@@ -21,6 +21,9 @@ def main(path: str, split: str = "test") -> None:
         print("| attack | WM-MSE after attack | SNR dB | PESQ (vendored) |")
         print("|---|---|---|---|")
     for r in rows:
+        # codec rows carry their provenance (real ffmpeg vs calibrated sim)
+        if r.get("Codec Path"):
+            r["Attack"] = f"{r['Attack']} ({r['Codec Path']})"
         if has_ber:
             print(f"| {r['Attack']} "
                   f"| {float(r['WM Loss After Attack']):.4f} "
