@@ -130,6 +130,13 @@ def evaluate_model(model, variables, datasets: dict, messages,
                 audio_scale=audio_scale, data_min=data_min,
                 data_max=data_max, save_artifacts=save_artifacts,
                 resync=resync))
+        # Each attack row jits fresh programs (exact-length host attacks,
+        # per-bucket extract/sync signatures) and JAX's executable cache
+        # never evicts: a 17-attack N=5 resync sweep grew to 130 GB RSS
+        # and was OOM-killed on its last row. Dropping the caches between
+        # rows bounds host memory at one row's working set; the next row
+        # re-traces what it needs.
+        jax.clear_caches()
     if result_path:
         with open(os.path.join(result_path, "sample_result.txt")) as f:
             process_data_to_csv(f.read(),
