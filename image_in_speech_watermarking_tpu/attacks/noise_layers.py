@@ -237,6 +237,33 @@ class Noiser:
         branches = [functools.partial(fn, kapply) for fn in self.layers]
         return jax.lax.switch(idx, branches, noised, cover)
 
+    def valid_mask(self, key, shape) -> jnp.ndarray:
+        """(h, w) 0/1 mask of the positions this key's draw keeps valid.
+
+        Replays the same (kpick, kapply) split and branch pick as
+        ``__call__``, so for a size-changing layer (crop — the one layer
+        whose reference form returns a SMALLER tensor, crop.py:48-75) it
+        reproduces the exact kept rectangle; every other layer is
+        full-frame. Lets the bits-mode decoder pool only over content the
+        reference decoder would have seen at all."""
+        _, h, w, _ = shape
+        kpick, kapply = jax.random.split(key)
+        idx = jax.random.randint(kpick, (), 0, len(self.layers))
+
+        def rect_branch(k, hr, wr):
+            return _rect_mask(h, w, *_random_rectangle(k, h, w, hr, wr))
+
+        branches = []
+        for fn in self.layers:
+            if isinstance(fn, functools.partial) and fn.func is crop:
+                hr = fn.keywords["height_ratio"]
+                wr = fn.keywords["width_ratio"]
+                branches.append(functools.partial(rect_branch, kapply,
+                                                  hr, wr))
+            else:
+                branches.append(lambda: jnp.ones((h, w), jnp.float32))
+        return jax.lax.switch(idx, branches)
+
 
 def parse_noise_config(config_str: str) -> Noiser:
     """Parse the reference's noise-layer DSL, e.g.

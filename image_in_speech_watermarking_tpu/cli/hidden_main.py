@@ -31,6 +31,8 @@ import numpy as np
 def _wm(args, batch: int, seed: int):
     from image_in_speech_watermarking_tpu import data
 
+    if args.wm_source == "bits":
+        return data.bit_messages(batch, args.message_bits, seed=seed)
     if args.wm_source == "binary":
         return data.binary_watermarks(batch, seed=seed)
     return data.digit_watermarks(batch, seed=seed)
@@ -59,10 +61,14 @@ def main(argv=None):
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--message", type=int, default=32)
     p.add_argument("--wm_source", default="digits",
-                   choices=["digits", "binary"],
-                   help="watermark messages: MNIST-shaped digit glyphs "
-                        "or random 32x32 bits (the bitwise-error table "
-                        "protocol, hidden/test_model.py:50-64)")
+                   choices=["digits", "binary", "bits"],
+                   help="watermark messages: MNIST-shaped digit glyphs, "
+                        "random 32x32 binary images, or 'bits' = the "
+                        "upstream-HiDDeN length-L bit-vector protocol "
+                        "(hidden/test_model.py:50-64) that the README "
+                        "bitwise-error table was measured under")
+    p.add_argument("--message_bits", type=int, default=30,
+                   help="message length L for --wm_source bits")
     p.add_argument("--val-size", type=int, default=8,
                    help="held-out utterances for the per-epoch validation "
                         "pass (the hidden README table reports validation "
@@ -84,7 +90,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
-    config = HiDDenConfig(message_length=args.message)
+    if args.wm_source == "bits":
+        config = HiDDenConfig(message_length=args.message_bits,
+                              message_mode="bits")
+    else:
+        config = HiDDenConfig(message_length=args.message)
     noiser = parse_noise_config(args.noise)
     net = Hidden(config, noiser=noiser, adv_loss=args.adv_loss,
                  ema_decay=args.ema_decay, disc_lr=args.disc_lr,

@@ -123,6 +123,13 @@ class HiDDenConfig:
     H: int = 128
     W: int = 128
     message_length: int = 32      # watermark side for the image-message variant
+    # "image": the snapshot's image-message variant (hidden/model/
+    # decoder.py outputs a 32x32 watermark image; message_length is the
+    # image side). "bits": the upstream-HiDDeN bit-vector protocol the
+    # README table (hidden/README.md:94-101) was measured under —
+    # message_length bits broadcast as constant planes, decoder
+    # global-pools to a length-L vector.
+    message_mode: str = "image"
     encoder_blocks: int = 4
     encoder_channels: int = 64
     decoder_blocks: int = 7

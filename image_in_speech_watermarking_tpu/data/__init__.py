@@ -4,8 +4,8 @@ from image_in_speech_watermarking_tpu.data.speech import (  # noqa: F401
     wave_to_eval_clips, wave_to_train_clips,
 )
 from image_in_speech_watermarking_tpu.data.watermark import (  # noqa: F401
-    binary_watermarks, digit_watermarks, pilot_pattern, stamp_pilot,
-    watermark_stream,
+    binary_watermarks, bit_messages, digit_watermarks, pilot_pattern,
+    stamp_pilot, watermark_stream,
 )
 from image_in_speech_watermarking_tpu.data.legacy_audio import (  # noqa: F401
     AudioMark, AudioMarkAll, align_audio_len, gen_watermarking, sw_to_stft,

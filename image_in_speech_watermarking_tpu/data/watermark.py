@@ -82,6 +82,14 @@ def binary_watermarks(batch: int, seed: int = 0,
     return bits * image_scale
 
 
+def bit_messages(batch: int, length: int = 30, seed: int = 0) -> np.ndarray:
+    """Random (batch, length) 0/1 bit vectors — the upstream-HiDDeN
+    message protocol behind the hidden/README.md:94-101 bitwise-error
+    table (hidden/test_model.py:53-56 draws the same at test time)."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2, size=(batch, length)).astype(np.float32)
+
+
 def try_mnist_watermarks(batch: int, root: str, seed: int = 0,
                          image_scale: float = 1.0) -> Optional[np.ndarray]:
     """Real MNIST if the torchvision files exist locally (no download);

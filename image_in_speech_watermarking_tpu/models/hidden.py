@@ -36,6 +36,16 @@ def expand_message(message: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.repeat(jnp.repeat(message, h // mh, axis=1), w // mw, axis=2)
 
 
+def expand_bits(message: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Broadcast a (B, L) bit vector to (B, h, w, L) constant planes —
+    the upstream HiDDeN message replication (each bit is present at every
+    spatial position, which is what makes the crop regimes decodable from
+    a ~5%-area keep: the bitwise-error table of hidden/README.md:96-101
+    was measured under this protocol)."""
+    b, length = message.shape
+    return jnp.broadcast_to(message[:, None, None, :], (b, h, w, length))
+
+
 class HiddenEncoder(nn.Module):
     """Cover + message -> watermarked image (HiDDeN encoder topology):
     encoder_blocks-1 ConvBNRelu on the cover, concat [features, expanded
@@ -51,7 +61,8 @@ class HiddenEncoder(nn.Module):
         y = image
         for i in range(cfg.encoder_blocks - 1):
             y = ConvBNRelu(cfg.encoder_channels, name=f"conv{i+1}")(y, train)
-        msg = expand_message(message, image.shape[1], image.shape[2])
+        expand = expand_bits if message.ndim == 2 else expand_message
+        msg = expand(message, image.shape[1], image.shape[2])
         y = jnp.concatenate([msg, y, image], axis=-1)
         y = ConvBNRelu(cfg.encoder_channels, name="after_concat")(y, train)
         return nn.Conv(self.cover_channels, (1, 1), name="final")(y)
@@ -75,6 +86,41 @@ class HiddenDecoder(nn.Module):
         y = nn.max_pool(y, (2, 2), strides=(2, 2))
         y = ConvBNRelu(1, name="to_one")(y, train)
         return nn.max_pool(y, (2, 2), strides=(2, 2))
+
+
+class HiddenDecoderBits(nn.Module):
+    """Watermarked image -> (B, message_length) bit logits — the upstream
+    HiDDeN decoder the README bitwise-error table was measured with:
+    conv stack, ConvBNRelu(C->L), global average pool, Linear(L->L).
+
+    ``valid_mask`` (B- or batch-broadcast (h, w) 0/1): the pool averages
+    only over valid positions. This reproduces the reference semantics
+    for size-changing noise (crop returns a SMALLER tensor there and
+    AdaptiveAvgPool2d averages over it alone; our static-shape crop
+    zeroes the outside, so an unmasked mean would dilute the features
+    ~20x and poison the pooled statistic)."""
+
+    config: HiDDenConfig = HiDDenConfig()
+
+    @nn.compact
+    def __call__(self, image_with_wm: jnp.ndarray,
+                 train: bool = False,
+                 valid_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.config
+        y = ConvBNRelu(cfg.decoder_channels, name="conv0")(image_with_wm,
+                                                           train)
+        for i in range(cfg.decoder_blocks - 1):
+            y = ConvBNRelu(cfg.decoder_channels, name=f"conv{i+1}")(y, train)
+        y = ConvBNRelu(cfg.message_length, name="to_msg")(y, train)
+        if valid_mask is None:
+            pooled = y.mean(axis=(1, 2))
+        else:
+            m = valid_mask[..., None]            # (h, w, 1) or (B, h, w, 1)
+            while m.ndim < y.ndim:
+                m = m[None]
+            pooled = ((y * m).sum(axis=(1, 2))
+                      / jnp.maximum(m.sum(axis=(1, 2)), 1.0))
+        return nn.Dense(cfg.message_length, name="linear")(pooled)
 
 
 class HiddenDiscriminator(nn.Module):
@@ -107,7 +153,10 @@ class HiddenEncoderDecoder(nn.Module):
     def setup(self):
         self.encoder = HiddenEncoder(self.config, self.cover_channels,
                                      name="encoder")
-        self.decoder = HiddenDecoder(self.config, name="decoder")
+        if self.config.message_mode == "bits":
+            self.decoder = HiddenDecoderBits(self.config, name="decoder")
+        else:
+            self.decoder = HiddenDecoder(self.config, name="decoder")
 
     def __call__(self, image: jnp.ndarray, message: jnp.ndarray,
                  noiser: Optional[Callable] = None,
@@ -117,5 +166,14 @@ class HiddenEncoderDecoder(nn.Module):
             noised = noiser(noiser_key, encoded, image)
         else:
             noised = encoded
-        decoded = self.decoder(noised, train)
+        if self.config.message_mode == "bits":
+            # masked global pool: the decoder must not average over
+            # regions a size-changing layer (crop) blanked — the
+            # reference decoder never sees them at all
+            mask = (noiser.valid_mask(noiser_key, encoded.shape)
+                    if noiser is not None
+                    and hasattr(noiser, "valid_mask") else None)
+            decoded = self.decoder(noised, train, valid_mask=mask)
+        else:
+            decoded = self.decoder(noised, train)
         return encoded, noised, decoded
