@@ -11,6 +11,8 @@
 # construction, not by training failure.
 # This queue reruns the two regimes under the faithful bit protocol
 # (--wm_source bits, message_mode='bits' masked-global-pool decoder).
+# 150 epochs (vs the reference's 300) to fit the round's chip budget —
+# the comparison column notes the epoch count.
 set -x
 cd "$(dirname "$0")/.."
 RUNS=results/hidden_table_r5_bits
@@ -19,10 +21,10 @@ COMMON="--batch-size 12 --size 64 --val-size 12 --wm_source bits \
  --ema_decay 0.999 --disc_lr 2.5e-4 --r1_gamma 1.0"
 
 python -m image_in_speech_watermarking_tpu.cli.hidden_main new \
-    --name crop_bits --epochs 300 \
+    --name crop_bits --epochs 150 \
     --noise 'crop((0.2,0.25),(0.2,0.25))' $COMMON
 python scripts/hidden_table_summary.py $RUNS || true
 python -m image_in_speech_watermarking_tpu.cli.hidden_main new \
-    --name cropout_bits --epochs 300 \
+    --name cropout_bits --epochs 150 \
     --noise 'cropout((0.55,0.6),(0.55,0.6))' $COMMON
 python scripts/hidden_table_summary.py $RUNS || true

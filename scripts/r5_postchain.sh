@@ -10,15 +10,9 @@ set -x
 cd "$(dirname "$0")/.."
 CKPT=${1:-results/flagship_r4_pw2/model}
 
-python -m image_in_speech_watermarking_tpu.cli.evaluate \
-    --checkpoint "$CKPT" --extractor_mag \
-    --size 5 --splits train --resync \
-    --attacks "time_shift-1000" \
-    --result_dir results/eval_r5_train > /tmp/r5_ts_row.log 2>&1
+bash scripts/r5_hidden_bits.sh > /tmp/r5_hidden_bits.log 2>&1
 
 timeout 3000 python scripts/r5_ts_probe.py "$CKPT" time_shift-1000 10 \
     > /tmp/r5_ts_probe.log 2>&1 || true
-
-timeout 3000 python bench.py > /tmp/r5_bench.log 2>&1
 
 echo POSTCHAIN_DONE
