@@ -14,6 +14,8 @@ Run: python scripts/r5_ts_probe.py [ckpt] [attack] [n_utts]
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
